@@ -1,0 +1,342 @@
+"""The segmentation generator: dense-skip U-Net with a dilated bottleneck
+and an optional point-cloud regression head.
+
+Architecture parity with reference ``src/networks/unet.py`` (layer graph,
+channel plan, activations, initialisation, parameter count 13,483,844 at
+``filters=32, n_block=4, pointnet=False`` — ``unet.py:166``), re-designed
+TPU-first:
+
+- NHWC layout, channels padded naturally onto the MXU by XLA.
+- float32 parameters with a configurable ``compute_dtype`` (bfloat16 on TPU).
+- nearest-neighbour upsampling as a reshape/broadcast (no gather).
+- the reference's ``multicuda`` 2-GPU activation-hopping (``unet.py:180-192``)
+  is obsolete on TPU — the whole model fits per core; scale-out is data
+  parallelism over the device mesh (see ``pointcloududa_tpu.parallel``).
+
+The reference's first-block 1x1 "dense remix" conv is constructed but never
+applied by its forward pass (``unet.py:32-33`` vs ``:44-48``); its (dead)
+parameters are still allocated here (``dead_conv_parity``) so checkpoints
+and parameter counts line up exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pointcloududa_tpu.models.init import conv_init, torch_linear_init
+
+LEAKY_SLOPE = 0.01  # torch nn.LeakyReLU() default, used by the whole generator
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsampling of NHWC as broadcast+reshape.
+
+    Equivalent of ``nn.UpsamplingNearest2d(scale_factor=2)``
+    (reference ``unet.py:111``) without gathers: lowers to a copy that XLA
+    fuses into the following convolution's input.
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class ConvLReLUNorm(nn.Module):
+    """Conv3x3 + LeakyReLU + (optional) BatchNorm — one half of the double
+    conv used throughout encoder/decoder (reference ``unet.py:23-30``)."""
+
+    features: int
+    kernel: int = 3
+    batch_norm: bool = True
+    dropout: bool = False
+    heinit: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            padding="SAME",
+            kernel_init=conv_init(self.heinit),
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = _leaky(x)
+        if self.dropout:
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        return x
+
+
+class Encoder(nn.Module):
+    """4-block downsampling path with the dense 1x1-conv remix.
+
+    Per block k (1-indexed), mirroring reference ``unet.py:35-51``:
+    double-conv -> save skip -> (k>1: concat with previous pooled tensor ->
+    1x1 conv + LeakyReLU) -> 2x2 max-pool. Channels: filters * 2^(k-1).
+    """
+
+    filters: int = 32
+    in_channels: int = 3
+    n_block: int = 4
+    batch_norm: bool = True
+    heinit: bool = False
+    dead_conv_parity: bool = True
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        skips = []
+        res = None
+        for i in range(self.n_block):
+            out_ch = self.filters * 2**i
+            in_ch = self.in_channels if i == 0 else self.filters * 2 ** (i - 1)
+            for j in range(2):
+                x = ConvLReLUNorm(
+                    out_ch,
+                    batch_norm=self.batch_norm,
+                    heinit=self.heinit,
+                    compute_dtype=self.compute_dtype,
+                    name=f"encoder{i + 1}_conv{j + 1}",
+                )(x, train)
+            skips.append(x)
+            if i > 0:
+                x = jnp.concatenate([x, res], axis=-1)
+                x = nn.Conv(
+                    out_ch,
+                    (1, 1),
+                    kernel_init=conv_init(self.heinit),
+                    dtype=self.compute_dtype,
+                    param_dtype=jnp.float32,
+                    name=f"conv1_{i + 1}",
+                )(x)
+                x = _leaky(x)
+            elif self.dead_conv_parity:
+                # reference constructs conv1_1 (in_ch*3 -> filters) but its
+                # forward never calls it (unet.py:32-33, :44-48). Allocate the
+                # same parameters (unused; DCE'd by XLA) for count parity.
+                self.param(
+                    "conv1_1_dead_kernel",
+                    conv_init(self.heinit),
+                    (1, 1, in_ch * 3, out_ch),
+                    jnp.float32,
+                )
+                self.param("conv1_1_dead_bias", nn.initializers.zeros_init(), (out_ch,), jnp.float32)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            res = x
+        return x, skips
+
+
+class Bottleneck(nn.Module):
+    """Dense dilated pyramid: 4 dilated 3x3 convs (dilation 1,2,4,8) whose
+    intermediate activations are summed (reference ``unet.py:54-73``)."""
+
+    filters: int = 32
+    n_block: int = 4
+    depth: int = 4
+    heinit: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.filters * 2**self.n_block
+        total = 0.0
+        for i in range(self.depth):
+            dilate = 2**i
+            x = nn.Conv(
+                out_ch,
+                (3, 3),
+                kernel_dilation=(dilate, dilate),
+                padding=((dilate, dilate), (dilate, dilate)),
+                kernel_init=conv_init(self.heinit),
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name=f"bottleneck{i + 1}",
+            )(x)
+            x = _leaky(x)
+            total = total + x
+        return total
+
+
+class PointHead(nn.Module):
+    """Regresses a (num_points, 3) cloud from bottleneck features.
+
+    Reference ``unet.py:76-96``: (ext: two 3x3 convs) -> Conv k6 VALID with
+    ``num_points`` output channels + LeakyReLU -> flatten spatial (row-major
+    H,W — matching torch's NCHW ``view``) -> Linear(fc_inch -> 3).
+    """
+
+    num_points: int = 300
+    fc_inch: int = 81
+    conv_inch: int = 512
+    ext: bool = False
+    heinit: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.ext:
+            for ch, name in ((self.conv_inch * 2, "conv1"), (self.conv_inch, "conv2")):
+                x = nn.Conv(
+                    ch,
+                    (3, 3),
+                    padding="SAME",
+                    kernel_init=conv_init(self.heinit),
+                    dtype=self.compute_dtype,
+                    param_dtype=jnp.float32,
+                    name=name,
+                )(x)
+                x = _leaky(x)
+        x = nn.Conv(
+            self.num_points,
+            (6, 6),
+            padding="VALID",
+            kernel_init=conv_init(self.heinit),
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="final_conv",
+        )(x)
+        x = _leaky(x)
+        b, h, w, p = x.shape
+        # NHWC -> (B, P, H*W): channel-first flatten to match torch view()
+        x = x.transpose(0, 3, 1, 2).reshape(b, p, h * w)
+        # torch-default init: the reference's custom init loop only touches
+        # Conv2d, so final_fc keeps nn.Linear defaults (unet.py:194-208)
+        x = nn.Dense(
+            3,
+            kernel_init=torch_linear_init(self.fc_inch),
+            bias_init=torch_linear_init(self.fc_inch),
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="final_fc",
+        )(x)
+        return x  # (B, num_points, 3)
+
+
+class Decoder(nn.Module):
+    """4 up-blocks: upsample2x+conv -> concat skip (LIFO) -> double conv.
+
+    Reference ``unet.py:100-136``. Note the concat order is
+    ``[skip, upsampled]`` and the up-conv has no activation.
+    """
+
+    filters: int = 32
+    n_block: int = 4
+    batch_norm: bool = True
+    drop: bool = False
+    heinit: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips: Sequence[jnp.ndarray], train: bool):
+        skips = list(skips)
+        for i in reversed(range(self.n_block)):
+            out_ch = self.filters * 2**i
+            x = upsample_nearest_2x(x)
+            x = nn.Conv(
+                out_ch,
+                (3, 3),
+                padding="SAME",
+                kernel_init=conv_init(self.heinit),
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name=f"decoder1_{i + 1}",
+            )(x)
+            x = jnp.concatenate([skips.pop(), x], axis=-1)
+            for j in range(2):
+                x = ConvLReLUNorm(
+                    out_ch,
+                    batch_norm=self.batch_norm,
+                    dropout=self.drop and j == 0,
+                    heinit=self.heinit,
+                    compute_dtype=self.compute_dtype,
+                    name=f"decoder2_{i + 1}_conv{j + 1}",
+                )(x, train)
+        return x
+
+
+class SegmentationPointModel(nn.Module):
+    """The generator: Encoder -> Bottleneck -> {PointHead} -> Decoder ->
+    1x1 classifier. Returns ``(logits, None, point_cloud_or_None)`` to keep
+    the reference's 3-tuple contract (``unet.py:210-233``).
+
+    Input/output are NHWC; logits have ``n_class`` channels last.
+    """
+
+    filters: int = 32
+    in_channels: int = 3
+    n_block: int = 4
+    bottleneck_depth: int = 4
+    n_class: int = 4
+    pointnet: bool = False
+    fc_inch: int = 81
+    extpn: bool = False
+    batchnorm: bool = True
+    drop: bool = False
+    heinit: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.compute_dtype)
+        feats, skips = Encoder(
+            filters=self.filters,
+            in_channels=self.in_channels,
+            n_block=self.n_block,
+            batch_norm=self.batchnorm,
+            heinit=self.heinit,
+            compute_dtype=self.compute_dtype,
+            name="encoder",
+        )(x, train)
+        bott = Bottleneck(
+            filters=self.filters,
+            n_block=self.n_block,
+            depth=self.bottleneck_depth,
+            heinit=self.heinit,
+            compute_dtype=self.compute_dtype,
+            name="bottleneck",
+        )(feats)
+        points = None
+        if self.pointnet:
+            points = PointHead(
+                num_points=300,
+                fc_inch=self.fc_inch,
+                conv_inch=512 * self.filters // 32,
+                ext=self.extpn,
+                heinit=self.heinit,
+                compute_dtype=self.compute_dtype,
+                name="pointNet",
+            )(bott)
+            points = points.astype(jnp.float32)
+        x = Decoder(
+            filters=self.filters,
+            n_block=self.n_block,
+            batch_norm=self.batchnorm,
+            drop=self.drop,
+            heinit=self.heinit,
+            compute_dtype=self.compute_dtype,
+            name="decoder",
+        )(bott, skips, train)
+        logits = nn.Conv(
+            self.n_class,
+            (1, 1),
+            kernel_init=conv_init(self.heinit),
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="classifier",
+        )(x)
+        return logits.astype(jnp.float32), None, points

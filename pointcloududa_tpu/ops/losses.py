@@ -1,0 +1,195 @@
+"""Losses and uncertainty maps for the UDA engine.
+
+All functions are pure, jit-compatible, and layout-agnostic via a
+``class_axis`` argument (default ``-1``: NHWC, the TPU-native layout).
+Numerics replicate the reference formulas exactly, including the epsilons:
+
+- supervised BCE / CE (+ double-activation quirks):
+    reference ``src/train_mscmrseg.py:202-203`` and
+    ``src/train_mmwhs.py:212-218`` (see the trainer for how these compose).
+- soft Jaccard (IoU) loss: reference ``src/utils/loss.py:5-37``.
+- symmetric Chamfer ("batch_NN_loss"): reference ``src/utils/loss.py:40-76``.
+- weighted self-information ("entropy") maps:
+    reference ``src/train_mscmrseg.py:222,265`` (sigmoid variant) and
+    ``src/train_mmwhs.py:224,242`` (softmax, normalised by log C).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# PyTorch's BCELoss clamps each log term at -100 for stability; we reproduce
+# that so loss values match the reference bit-for-bit on saturated inputs.
+_LOG_CLAMP = -100.0
+
+
+def _clamped_log(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(jnp.log(x), _LOG_CLAMP)
+
+
+def bce_from_probs(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Binary cross-entropy on probabilities, mean-reduced over all elements.
+
+    Equivalent of ``torch.nn.BCELoss()(probs, targets)`` as used for the
+    supervised segmentation loss (reference ``src/train_mscmrseg.py:202``).
+    """
+    probs = probs.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    loss = -(targets * _clamped_log(probs) + (1.0 - targets) * _clamped_log(1.0 - probs))
+    return jnp.mean(loss)
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable BCE on logits, mean-reduced.
+
+    Equivalent of ``F.binary_cross_entropy_with_logits`` used for every
+    adversarial/discriminator objective (reference
+    ``src/train_mscmrseg.py:224-241,267-316``). ``targets`` may be a scalar
+    domain label (0. or 1.) which broadcasts against ``logits``.
+    """
+    logits = logits.astype(jnp.float32)
+    targets = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), logits.shape)
+    # max(x,0) - x*t + log(1 + exp(-|x|))
+    loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(loss)
+
+
+def cross_entropy(inputs: jnp.ndarray, labels: jnp.ndarray, class_axis: int = -1) -> jnp.ndarray:
+    """Multi-class cross entropy with integer labels, mean-reduced.
+
+    Equivalent of ``F.cross_entropy(inputs, labels)``: applies log-softmax to
+    ``inputs`` internally. Note the reference's ``-softmax`` path feeds
+    *softmax outputs* into this (a double softmax,
+    ``src/train_mmwhs.py:213-214``); the trainer reproduces that composition
+    — this function itself is the standard CE.
+    """
+    inputs = inputs.astype(jnp.float32)
+    logp = jax.nn.log_softmax(inputs, axis=class_axis)
+    onehot = jax.nn.one_hot(labels, inputs.shape[class_axis], axis=class_axis, dtype=jnp.float32)
+    nll = -jnp.sum(logp * onehot, axis=class_axis)
+    return jnp.mean(nll)
+
+
+def jaccard_loss(
+    true: jnp.ndarray,
+    probs: jnp.ndarray | None = None,
+    *,
+    logits: jnp.ndarray | None = None,
+    eps: float = 1e-7,
+    class_axis: int = -1,
+) -> jnp.ndarray:
+    """Soft Jaccard (IoU) loss.
+
+    Replicates reference ``src/utils/loss.py:5-37``: per class, intersection
+    and cardinality are summed over batch + spatial dims; the loss is
+    ``1 - mean_c(inter / (union + eps))``.
+
+    Pass pre-activated probabilities as ``probs`` (the reference's
+    ``activation=False`` path, which is the only one its trainers use), or
+    raw ``logits`` to apply softmax first (``activation=True`` path,
+    ``loss.py:25``). The single-channel sigmoid branch (``loss.py:15-23``)
+    is reproduced when the class axis has size 1 and ``logits`` is given.
+    """
+    if (probs is None) == (logits is None):
+        raise ValueError("pass exactly one of probs= or logits=")
+    true = true.astype(jnp.float32)
+    if logits is not None:
+        logits = logits.astype(jnp.float32)
+        if logits.shape[class_axis] == 1:
+            pos = jax.nn.sigmoid(logits)
+            probs = jnp.concatenate([pos, 1.0 - pos], axis=class_axis)
+            # mirror loss.py:16-20: true becomes [fg, bg] one-hot
+            true = jnp.concatenate([true, 1.0 - true], axis=class_axis)
+        else:
+            probs = jax.nn.softmax(logits, axis=class_axis)
+    probs = probs.astype(jnp.float32)
+    axis = class_axis % probs.ndim
+    reduce_dims = tuple(d for d in range(probs.ndim) if d != axis)
+    intersection = jnp.sum(probs * true, axis=reduce_dims)
+    cardinality = jnp.sum(probs + true, axis=reduce_dims)
+    union = cardinality - intersection
+    jacc = jnp.mean(intersection / (union + eps))
+    return 1.0 - jacc
+
+
+def weighted_self_information(
+    probs: jnp.ndarray, *, eps: float = 1e-7, num_classes: int | None = None
+) -> jnp.ndarray:
+    """Weighted self-information ("entropy") map ``-P * log(P + eps)``.
+
+    With ``num_classes`` set, normalises by ``log(C)`` — the MM-WHS variant
+    (reference ``src/train_mmwhs.py:224,242``); without it, the raw MS-CMRSeg
+    sigmoid variant (``src/train_mscmrseg.py:222,265``). The output has the
+    same shape as ``probs`` and is the input of the D2 discriminator.
+    """
+    probs = probs.astype(jnp.float32)
+    out = -1.0 * probs * jnp.log(probs + eps)
+    if num_classes is not None:
+        out = out / math.log(num_classes)
+    return out
+
+
+def batch_pairwise_dist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Batched squared-distance matrix between two point sets.
+
+    ``x``: (B, N, D), ``y``: (B, M, D) → (B, N, M) of squared L2 distances
+    computed as ``|x|^2 + |y|^2 - 2 x·y`` with the cross term on the MXU —
+    same decomposition as reference ``src/utils/loss.py:47-65`` (three bmm's),
+    which is already the TPU-friendly form.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    xx = jnp.sum(x * x, axis=-1)  # (B, N)
+    yy = jnp.sum(y * y, axis=-1)  # (B, M)
+    zz = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
+    return xx[:, :, None] + yy[:, None, :] - 2.0 * zz
+
+
+def chamfer_loss(x: jnp.ndarray, y: jnp.ndarray, *, eps: float = 1e-5) -> jnp.ndarray:
+    """Symmetric Chamfer distance between batched point sets (B, N, 3).
+
+    Replicates reference ``batch_NN_loss`` (``src/utils/loss.py:40-76``)
+    including its quirks: distances are ``sqrt(d^2 + 1e-5)`` (no clamp at 0)
+    and the two directional means are computed with two separate pairwise
+    matrices. Here one matrix serves both directions (it is symmetric in the
+    reference too — ``dist2`` is the transpose of ``dist1``), which halves
+    the FLOPs with identical values.
+
+    The reference implementation hardcodes ``torch.cuda.LongTensor``
+    (``loss.py:59``) and is therefore CUDA-only; this one runs anywhere.
+    """
+    # The |x|^2+|y|^2-2xy decomposition can go slightly negative under f32
+    # cancellation; clamping at 0 keeps sqrt finite and stays within fp
+    # tolerance of the reference values (which rely on the +1e-5 buffer).
+    p = jnp.maximum(batch_pairwise_dist(x, y), 0.0)  # (B, N, M)
+    d = jnp.sqrt(p + eps)
+    forward = jnp.mean(jnp.min(d, axis=2), axis=1)  # x -> nearest y
+    backward = jnp.mean(jnp.min(d, axis=1), axis=1)  # y -> nearest x
+    return jnp.mean(forward) + jnp.mean(backward)
+
+
+@partial(jax.jit, static_argnames=("class_axis",))
+def dice_coef_multilabel(
+    y_true: jnp.ndarray, y_pred: jnp.ndarray, class_axis: int = -1
+) -> jnp.ndarray:
+    """Mean foreground Dice over classes 1..C-1 with +1 smoothing.
+
+    Device-side equivalent of reference ``src/utils/metric.py:5-36``
+    (the train-time numpy dice); class 0 (background) is excluded.
+    """
+    y_true = y_true.astype(jnp.float32)
+    y_pred = y_pred.astype(jnp.float32)
+    axis = class_axis % y_true.ndim
+    y_true = jnp.moveaxis(y_true, axis, -1)
+    y_pred = jnp.moveaxis(y_pred, axis, -1)
+    n_class = y_true.shape[-1]
+    flat_t = y_true.reshape(-1, n_class)
+    flat_p = y_pred.reshape(-1, n_class)
+    inter = jnp.sum(flat_t * flat_p, axis=0)
+    denom = jnp.sum(flat_t, axis=0) + jnp.sum(flat_p, axis=0)
+    dice = (2.0 * inter + 1.0) / (denom + 1.0)
+    return jnp.mean(dice[1:])
