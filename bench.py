@@ -1,0 +1,79 @@
+"""Throughput benchmark: full triple-adversary UDA train step.
+
+Measures the BASELINE.json north-star metric — UDA train slices/sec/chip
+with the segmentor + all three discriminators (D1 output-space, D2
+entropy-map, D4 PointNet) at the reference's default schedule shapes
+(batch 16, 224x224x3, 4 classes, 300-point clouds).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` divides by an ESTIMATE of the reference's PyTorch-1.4
+single-GPU throughput (the repo publishes no throughput numbers —
+SURVEY.md §6): ~25 slices/sec, i.e. ~0.64 s per 16-slice iteration for two
+U-Net forward+backward passes, six discriminator forwards, three backwards,
+and Chamfer, with `torch.autograd.set_detect_anomaly(True)` left on
+(reference ``train_mscmrseg.py:703``). Refine when a measured baseline
+exists.
+
+Env knobs: BENCH_DTYPE=bfloat16|float32 (default bfloat16),
+BENCH_BS (default 16), BENCH_STEPS (default 16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_GPU_SLICES_PER_SEC_ESTIMATE = 25.0
+
+
+def main():
+    import jax
+
+    from pointcloududa_tpu.config import mscmrseg_default
+    from pointcloududa_tpu.data.synthetic import synthetic_batch
+    from pointcloududa_tpu.train.state import build_models, build_optimizers, create_train_state
+    from pointcloududa_tpu.train.step import make_train_step
+
+    bs = int(os.environ.get("BENCH_BS", "16"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "16"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    cfg = mscmrseg_default(d1=True, d2=True, d4=True, bs=bs, compute_dtype=dtype)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
+
+    batches = [synthetic_batch(cfg, bs, seed=s) for s in range(4)]
+    batches = [jax.device_put(b) for b in batches]
+
+    # warmup: compile + 2 steady steps
+    for i in range(3):
+        state, metrics = step(state, batches[i % len(batches)])
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batches[i % len(batches)])
+    jax.block_until_ready(metrics)
+    elapsed = time.perf_counter() - t0
+
+    slices_per_sec = bs * n_steps / elapsed
+    n_chips = jax.device_count()
+    print(
+        json.dumps(
+            {
+                "metric": f"UDA train slices/sec/chip (seg+D1+D2+D4, bs{bs}, 224^2, {dtype})",
+                "value": round(slices_per_sec / n_chips, 2),
+                "unit": "slices/sec/chip",
+                "vs_baseline": round(slices_per_sec / n_chips / REF_GPU_SLICES_PER_SEC_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -172,14 +172,17 @@ def chamfer_loss(x: jnp.ndarray, y: jnp.ndarray, *, eps: float = 1e-5) -> jnp.nd
     return jnp.mean(forward) + jnp.mean(backward)
 
 
-@partial(jax.jit, static_argnames=("class_axis",))
+@partial(jax.jit, static_argnames=("class_axis", "num_labels"))
 def dice_coef_multilabel(
-    y_true: jnp.ndarray, y_pred: jnp.ndarray, class_axis: int = -1
+    y_true: jnp.ndarray, y_pred: jnp.ndarray, class_axis: int = -1, num_labels: int = 4
 ) -> jnp.ndarray:
-    """Mean foreground Dice over classes 1..C-1 with +1 smoothing.
+    """Mean foreground Dice over classes 1..num_labels-1 with +1 smoothing.
 
     Device-side equivalent of reference ``src/utils/metric.py:5-36``
-    (the train-time numpy dice); class 0 (background) is excluded.
+    (the train-time numpy dice); class 0 (background) is excluded. The
+    default ``num_labels=4`` reproduces a reference quirk: the MM-WHS
+    trainer also calls it with the default, so its 5th class never enters
+    the train-time dice (``train_mmwhs.py:236``).
     """
     y_true = y_true.astype(jnp.float32)
     y_pred = y_pred.astype(jnp.float32)
@@ -192,4 +195,4 @@ def dice_coef_multilabel(
     inter = jnp.sum(flat_t * flat_p, axis=0)
     denom = jnp.sum(flat_t, axis=0) + jnp.sum(flat_p, axis=0)
     dice = (2.0 * inter + 1.0) / (denom + 1.0)
-    return jnp.mean(dice[1:])
+    return jnp.mean(dice[1:num_labels])

@@ -1,0 +1,160 @@
+"""Train-state pytrees and reference-parity optimisers.
+
+The reference juggles four ``torch.optim`` instances and freezes networks by
+flipping ``requires_grad`` per-parameter every phase
+(``src/train_mscmrseg.py:184-198,250-260``). In JAX that machinery
+disappears: each network is a separate parameter subtree with its own optax
+chain, and every phase takes gradients with respect to exactly one subtree —
+"freezing" is simply not differentiating.
+
+Optimiser parity:
+- generator: Adam(lr, betas=(0.9, 0.99), eps=1e-8)
+  (``train_mscmrseg.py:427-431``) or SGD(momentum=0.95, wd=5e-4) under the
+  MM-WHS ``-sgd`` flag (``train_mmwhs.py:453-459``);
+- discriminators: SGD(momentum=0.99 MS-CMRSeg / 0.95 MM-WHS, wd=5e-4)
+  (``train_mscmrseg.py:432-455``, ``train_mmwhs.py:466-489``) — weight decay
+  added to the gradient *before* the momentum trace, like torch.
+
+The generator learning rate is exposed through ``optax.inject_hyperparams``
+so the reference's host-side step decay (x0.2 every ``decay_e`` epochs,
+``train_mscmrseg.py:585-589``) mutates state instead of rebuilding it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pointcloududa_tpu.config import UDAConfig
+from pointcloududa_tpu.models import (
+    PointNetCls,
+    SegmentationPointModel,
+    UncertaintyDiscriminator,
+)
+
+
+class NetState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class UDATrainState(struct.PyTreeNode):
+    gen: NetState
+    d1: Optional[NetState]
+    d2: Optional[NetState]
+    d4: Optional[NetState]
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def adam_reference(lr: float) -> optax.GradientTransformation:
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.99, eps=1e-8)
+    )(learning_rate=lr)
+
+
+def sgd_reference(lr: float, momentum: float, weight_decay: float = 5e-4) -> optax.GradientTransformation:
+    def make(learning_rate):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.trace(decay=momentum, nesterov=False),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+def build_models(cfg: UDAConfig):
+    """Instantiate the generator and the enabled discriminators."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    gen = SegmentationPointModel(
+        filters=cfg.filters,
+        in_channels=cfg.in_channels,
+        n_block=cfg.n_block,
+        bottleneck_depth=cfg.bottleneck_depth,
+        n_class=cfg.n_class,
+        pointnet=cfg.point_head,
+        fc_inch=cfg.fc_inch,
+        extpn=cfg.extpn,
+        batchnorm=cfg.batchnorm,
+        drop=cfg.drop,
+        heinit=cfg.heinit,
+        compute_dtype=dtype,
+    )
+    d1 = (
+        UncertaintyDiscriminator(in_channel=cfg.n_class, heinit=cfg.heinit, ext=cfg.extd1, compute_dtype=dtype)
+        if cfg.d1
+        else None
+    )
+    d2 = (
+        UncertaintyDiscriminator(in_channel=cfg.n_class, heinit=cfg.heinit, ext=cfg.extd2, compute_dtype=dtype)
+        if cfg.d2
+        else None
+    )
+    d4 = (
+        PointNetCls(feature_transform=cfg.ft, ext=cfg.extd4, compute_dtype=dtype)
+        if cfg.d4
+        else None
+    )
+    return gen, d1, d2, d4
+
+
+def build_optimizers(cfg: UDAConfig):
+    gen_tx = (
+        sgd_reference(cfg.lr, momentum=cfg.mmt)
+        if cfg.sgd
+        else adam_reference(cfg.lr)
+    )
+    d1_tx = sgd_reference(cfg.d1lr, cfg.disc_momentum("d1")) if cfg.d1 else None
+    d2_tx = sgd_reference(cfg.d2lr, cfg.disc_momentum("d2")) if cfg.d2 else None
+    d4_tx = sgd_reference(cfg.d4lr, cfg.disc_momentum("d4")) if cfg.d4 else None
+    return gen_tx, d1_tx, d2_tx, d4_tx
+
+
+def _init_net(model, tx, rng, *example_inputs, **kwargs):
+    variables = model.init(rng, *example_inputs, **kwargs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return NetState(params=params, batch_stats=batch_stats, opt_state=tx.init(params))
+
+
+def create_train_state(cfg: UDAConfig, rng: jax.Array) -> UDATrainState:
+    """Initialise all networks + optimisers on example shapes from cfg."""
+    gen, d1, d2, d4 = build_models(cfg)
+    gen_tx, d1_tx, d2_tx, d4_tx = build_optimizers(cfg)
+    rngs = jax.random.split(rng, 5)
+    img = jnp.zeros((2, cfg.crop_size, cfg.crop_size, cfg.in_channels), jnp.float32)
+    gen_state = _init_net(gen, gen_tx, rngs[0], img, train=False)
+    d1_state = d2_state = d4_state = None
+    if cfg.d1:
+        d1_state = _init_net(d1, d1_tx, rngs[1], jnp.zeros((2, cfg.crop_size, cfg.crop_size, cfg.n_class), jnp.float32))
+    if cfg.d2:
+        d2_state = _init_net(d2, d2_tx, rngs[2], jnp.zeros((2, cfg.crop_size, cfg.crop_size, cfg.n_class), jnp.float32))
+    if cfg.d4:
+        d4_state = _init_net(d4, d4_tx, rngs[3], jnp.zeros((2, 300, 3), jnp.float32), train=False)
+    return UDATrainState(
+        gen=gen_state,
+        d1=d1_state,
+        d2=d2_state,
+        d4=d4_state,
+        step=jnp.zeros((), jnp.int32),
+        rng=rngs[4],
+    )
+
+
+def set_generator_lr(state: UDATrainState, lr: float) -> UDATrainState:
+    """Host-side lr mutation for the x0.2 step decay."""
+    opt_state = state.gen.opt_state
+    hyper = dict(opt_state.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, dtype=hyper["learning_rate"].dtype)
+    opt_state = opt_state._replace(hyperparams=hyper)
+    return state.replace(gen=state.gen.replace(opt_state=opt_state))
+
+
+def get_generator_lr(state: UDATrainState) -> float:
+    return float(state.gen.opt_state.hyperparams["learning_rate"])

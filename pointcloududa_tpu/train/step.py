@@ -1,0 +1,322 @@
+"""The 5-phase alternating UDA step as ONE jitted pure function.
+
+Reference semantics (``src/train_mscmrseg.py:143-345``,
+``src/train_mmwhs.py:145-377``), re-expressed functionally:
+
+  phase 1  supervised source loss through the generator;
+  phase 2  adversarial target loss through *frozen* discriminators;
+           -> one gradient wrt the generator subtree only (the reference's
+              two sequential ``backward()``s accumulate into the same grads
+              before a single ``optim_gen.step()`` — identical to summing);
+  phase 3  discriminators on source outputs vs label 1;
+  phase 4  discriminators on target outputs vs label 0;
+           -> per-discriminator gradients wrt that discriminator only,
+              on the generator outputs computed with the *old* generator
+              parameters (the reference detaches tensors produced before
+              ``optim_gen.step()``, so the values match);
+  phase 5  all optimiser updates.
+
+PyTorch's ``requires_grad`` flipping disappears: each ``value_and_grad``
+differentiates exactly one parameter subtree; everything else is a constant
+of the trace. BatchNorm running-statistics update *order* is preserved:
+generator stats see source then target (phase 1 then 2); the D4 PointNet's
+stats see target (phase 2), source (phase 3), target (phase 4), exactly the
+reference's three train-mode forwards.
+
+Everything below is compiled once per static config (no recompiles across
+steps); under a data mesh the same function runs SPMD — batch-dim reductions
+inside losses and BatchNorm become cross-chip ``psum``s inserted by GSPMD,
+so multi-chip training keeps single-device semantics over the global batch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pointcloududa_tpu.config import UDAConfig
+from pointcloududa_tpu.ops import losses
+from pointcloududa_tpu.train.state import NetState, UDATrainState
+
+SOURCE_LABEL = 1.0  # reference train_mscmrseg.py:160-161
+TARGET_LABEL = 0.0
+
+
+def _activate(cfg: UDAConfig, logits):
+    if cfg.softmax:
+        return jax.nn.softmax(logits, axis=-1)
+    return jax.nn.sigmoid(logits)
+
+
+def _supervised_loss(cfg: UDAConfig, logits, probs, mask_onehot):
+    """Reference quirks preserved: MS-CMRSeg BCE on sigmoid probs
+    (``train_mscmrseg.py:202``); MM-WHS ``-softmax`` feeds softmax outputs
+    into CE — a double softmax (``train_mmwhs.py:213-214``)."""
+    if cfg.softmax:
+        labels = jnp.argmax(mask_onehot, axis=-1)
+        l1 = losses.cross_entropy(probs, labels)  # probs as CE input: parity
+    else:
+        l1 = losses.bce_from_probs(probs, mask_onehot)
+    l2 = losses.jaccard_loss(mask_onehot, probs)
+    return l1, l2
+
+
+def _entropy_map(cfg: UDAConfig, probs):
+    return losses.weighted_self_information(
+        probs, num_classes=cfg.n_class if cfg.entropy_norm else None
+    )
+
+
+def _disc_accuracy(logits, is_source: bool):
+    """Fraction classified as source; reference thresholds sigmoid at 0.5
+    (``train_mscmrseg.py:270-272``) == logit >= 0."""
+    frac_source = jnp.mean((logits >= 0.0).astype(jnp.float32))
+    return frac_source if is_source else 1.0 - frac_source
+
+
+def make_train_step(cfg: UDAConfig, models, optimizers):
+    """Build the jitted train step.
+
+    ``models`` = (gen, d1, d2, d4) flax modules (None where disabled);
+    ``optimizers`` = matching optax transforms.
+    Returns ``step(state, batch) -> (state, metrics)`` where ``batch`` has
+    NHWC float32 ``img_s``, one-hot ``mask_s``, (B,300,3) ``vert_s``,
+    ``img_t``, ``vert_t``.
+    """
+    gen, d1, d2, d4 = models
+    gen_tx, d1_tx, d2_tx, d4_tx = optimizers
+
+    def step(state: UDATrainState, batch: Dict[str, jnp.ndarray]):
+        rng, r_drop_s, r_drop_t, r_d4a, r_d4b, r_d4c = jax.random.split(state.rng, 6)
+        img_s, mask_s = batch["img_s"], batch["mask_s"].astype(jnp.float32)
+        img_t = batch["img_t"]
+        vert_s = batch.get("vert_s")
+        vert_t = batch.get("vert_t")
+
+        d1_params = state.d1.params if cfg.d1 else None
+        d2_params = state.d2.params if cfg.d2 else None
+        d4_params = state.d4.params if cfg.d4 else None
+        d4_stats0 = state.d4.batch_stats if cfg.d4 else None
+
+        # ---- phases 1+2: generator loss (supervised + adversarial) -------
+        def gen_loss_fn(gen_params):
+            aux: Dict[str, Any] = {}
+            v = {"params": gen_params, "batch_stats": state.gen.batch_stats}
+            (o_s, _, pv_s), m1 = gen.apply(
+                v, img_s, train=True, mutable=["batch_stats"], rngs={"dropout": r_drop_s}
+            )
+            probs_s = _activate(cfg, o_s)
+            l1, l2 = _supervised_loss(cfg, o_s, probs_s, mask_s)
+            l3 = 0.0
+            if cfg.point_head:
+                l3 = losses.chamfer_loss(pv_s, vert_s)
+                aux["ver_s_loss"] = l3
+            unc_s = _entropy_map(cfg, probs_s)
+            ent_s = jnp.mean(jnp.sum(unc_s, axis=-1))
+            sup = l1 + l2 + cfg.wp * l3
+            if cfg.etpls and cfg.d2:
+                sup = sup + ent_s  # train_mmwhs.py:227-230
+
+            v = {"params": gen_params, "batch_stats": m1["batch_stats"]}
+            (o_t, _, pv_t), m2 = gen.apply(
+                v, img_t, train=True, mutable=["batch_stats"], rngs={"dropout": r_drop_t}
+            )
+            probs_t = _activate(cfg, o_t)
+            unc_t = _entropy_map(cfg, probs_t)
+            ent_t = jnp.mean(jnp.sum(unc_t, axis=-1))
+
+            adv = ent_t if cfg.Tetpls else 0.0
+            d4_stats = d4_stats0
+            if cfg.point_head:
+                aux["ver_t_loss"] = losses.chamfer_loss(pv_t, vert_t)  # logged only
+            if cfg.d2:
+                out2 = d2.apply({"params": d2_params}, unc_t)
+                adv = adv + cfg.w2 * cfg.dr * losses.bce_with_logits(out2, SOURCE_LABEL)
+            if cfg.d4:
+                (out4, _, _), m4 = d4.apply(
+                    {"params": d4_params, "batch_stats": d4_stats0},
+                    pv_t,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": r_d4a},
+                )
+                adv = adv + cfg.w4 * cfg.dr * losses.bce_with_logits(out4, SOURCE_LABEL)
+                d4_stats = m4["batch_stats"]
+            if cfg.d1:
+                d1_in = probs_t if cfg.d1_on_probs else o_t
+                out1 = d1.apply({"params": d1_params}, d1_in)
+                adv = adv + cfg.w1 * cfg.dr * losses.bce_with_logits(out1, SOURCE_LABEL)
+
+            aux.update(
+                o_s=o_s,
+                o_t=o_t,
+                probs_s=probs_s,
+                probs_t=probs_t,
+                unc_s=unc_s,
+                unc_t=unc_t,
+                pv_s=pv_s,
+                pv_t=pv_t,
+                gen_stats=m2["batch_stats"],
+                d4_stats=d4_stats,
+                seg_loss=l1 + l2,
+                adv_loss=adv,
+                entropy_loss=ent_s,
+                entropy_loss_T=ent_t,
+            )
+            return sup + adv, aux
+
+        (gen_total, aux), gen_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen.params
+        )
+        gen_updates, gen_opt = gen_tx.update(gen_grads, state.gen.opt_state, state.gen.params)
+        new_gen = NetState(
+            params=optax.apply_updates(state.gen.params, gen_updates),
+            batch_stats=aux["gen_stats"],
+            opt_state=gen_opt,
+        )
+
+        metrics = {
+            "seg_loss": aux["seg_loss"],
+            "adv_loss": aux["adv_loss"],
+            "gen_total_loss": gen_total,
+            "entropy_loss": aux["entropy_loss"],
+            "entropy_loss_T": aux["entropy_loss_T"],
+        }
+        if cfg.point_head:
+            metrics["ver_s_loss"] = aux["ver_s_loss"]
+            metrics["ver_t_loss"] = aux["ver_t_loss"]
+        # train-time dice on hard predictions (soft_to_hard ties -> multi-hot,
+        # reference utils.py:32-40 + metric.py:17-36 with its numLabels=4)
+        hard = (aux["o_s"] == jnp.max(aux["o_s"], axis=-1, keepdims=True)).astype(jnp.float32)
+        metrics["seg_dice"] = losses.dice_coef_multilabel(mask_s, hard, num_labels=4)
+
+        # ---- phases 3+4: discriminators on detached outputs --------------
+        # (values from the OLD generator; no gradient flows back to it)
+        new_d1 = state.d1
+        if cfg.d1:
+            src_in = aux["probs_s"] if cfg.d1_on_probs else aux["o_s"]
+            tgt_in = aux["probs_t"] if cfg.d1_on_probs else aux["o_t"]
+
+            def d1_loss_fn(p):
+                out_src = d1.apply({"params": p}, src_in)
+                out_tgt = d1.apply({"params": p}, tgt_in)
+                loss = losses.bce_with_logits(out_src, SOURCE_LABEL) + losses.bce_with_logits(
+                    out_tgt, TARGET_LABEL
+                )
+                return loss, (out_src, out_tgt)
+
+            (d1_loss, (o1s, o1t)), d1_grads = jax.value_and_grad(d1_loss_fn, has_aux=True)(
+                d1_params
+            )
+            upd, opt = d1_tx.update(d1_grads, state.d1.opt_state, d1_params)
+            new_d1 = NetState(optax.apply_updates(d1_params, upd), state.d1.batch_stats, opt)
+            metrics["dis1_acc1"] = _disc_accuracy(o1s, True)
+            metrics["dis1_acc2"] = _disc_accuracy(o1t, False)
+            metrics["d1_loss"] = d1_loss
+
+        new_d2 = state.d2
+        if cfg.d2:
+
+            def d2_loss_fn(p):
+                out_src = d2.apply({"params": p}, aux["unc_s"])
+                out_tgt = d2.apply({"params": p}, aux["unc_t"])
+                loss = losses.bce_with_logits(out_src, SOURCE_LABEL) + losses.bce_with_logits(
+                    out_tgt, TARGET_LABEL
+                )
+                return loss, (out_src, out_tgt)
+
+            (d2_loss, (o2s, o2t)), d2_grads = jax.value_and_grad(d2_loss_fn, has_aux=True)(
+                d2_params
+            )
+            upd, opt = d2_tx.update(d2_grads, state.d2.opt_state, d2_params)
+            new_d2 = NetState(optax.apply_updates(d2_params, upd), state.d2.batch_stats, opt)
+            metrics["dis2_acc1"] = _disc_accuracy(o2s, True)
+            metrics["dis2_acc2"] = _disc_accuracy(o2t, False)
+            metrics["d2_loss"] = d2_loss
+
+        new_d4 = state.d4
+        if cfg.d4:
+            # stats ordering parity: phase-2 stats (aux) -> source -> target
+            def d4_loss_fn(p):
+                (out_src, _, _), m_a = d4.apply(
+                    {"params": p, "batch_stats": aux["d4_stats"]},
+                    aux["pv_s"],
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": r_d4b},
+                )
+                (out_tgt, _, _), m_b = d4.apply(
+                    {"params": p, "batch_stats": m_a["batch_stats"]},
+                    aux["pv_t"],
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": r_d4c},
+                )
+                loss = losses.bce_with_logits(out_src, SOURCE_LABEL) + losses.bce_with_logits(
+                    out_tgt, TARGET_LABEL
+                )
+                return loss, (out_src, out_tgt, m_b["batch_stats"])
+
+            (d4_loss, (o4s, o4t, d4_stats_final)), d4_grads = jax.value_and_grad(
+                d4_loss_fn, has_aux=True
+            )(d4_params)
+            upd, opt = d4_tx.update(d4_grads, state.d4.opt_state, d4_params)
+            new_d4 = NetState(optax.apply_updates(d4_params, upd), d4_stats_final, opt)
+            metrics["dis4_acc1"] = _disc_accuracy(o4s, True)
+            metrics["dis4_acc2"] = _disc_accuracy(o4t, False)
+            metrics["d4_loss"] = d4_loss
+
+        new_state = state.replace(
+            gen=new_gen, d1=new_d1, d2=new_d2, d4=new_d4, step=state.step + 1, rng=rng
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: UDAConfig, gen):
+    """Jitted validation step mirroring ``valid_model_with_one_dataset``
+    (``train_mscmrseg.py:53-99``, ``train_mmwhs.py:51-99``) — loss + mean
+    foreground Dice of the batch, entirely on device (no HD at valid time,
+    matching the reference's hd=False calls).
+    """
+
+    n_fg = cfg.n_class - 1
+
+    def binary_dice(pred_lbl, true_lbl, c):
+        p = (pred_lbl == c).astype(jnp.float32)
+        t = (true_lbl == c).astype(jnp.float32)
+        inter = jnp.sum(p * t)
+        denom = jnp.sum(p) + jnp.sum(t)
+        # medpy dc: 0 when both structures are empty
+        return jnp.where(denom > 0, 2.0 * inter / jnp.maximum(denom, 1.0), 0.0)
+
+    def eval_step(gen_state: NetState, batch):
+        v = {"params": gen_state.params, "batch_stats": gen_state.batch_stats}
+        o, _, pv = gen.apply(v, batch["img"], train=False)
+        mask = batch["mask"].astype(jnp.float32)
+        probs = _activate(cfg, o)
+        l1, l2 = _supervised_loss(cfg, o, probs, mask)
+        vert_loss = jnp.float32(-1.0)
+        loss = l1 + l2
+        if cfg.point_head:
+            vert_loss = losses.chamfer_loss(pv, batch["vert"])
+            if cfg.workload == "mscmrseg" and cfg.d4:
+                # MS-CMRSeg adds the chamfer term to the reported valid loss
+                # (train_mscmrseg.py:72-78); MM-WHS does not (train_mmwhs.py:81)
+                loss = loss + vert_loss
+        pred_lbl = jnp.argmax(o, axis=-1)
+        true_lbl = jnp.argmax(mask, axis=-1)
+        dices = jnp.stack([binary_dice(pred_lbl, true_lbl, c) for c in range(1, cfg.n_class)])
+        return {
+            "loss": loss,
+            "dice": jnp.sum(dices) / n_fg,
+            "vert_loss": vert_loss,
+            "logits": o,
+        }
+
+    return jax.jit(eval_step)
