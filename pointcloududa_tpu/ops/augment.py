@@ -134,7 +134,12 @@ def _affine_matrix(key, cfg: AugmentConfig, h: int, w: int):
 
 
 def _warp_one(img, inv, c, shift, disp, order: int, cval):
-    """Inverse-warp (H, W, C) by affine + additive displacement field."""
+    """Inverse-warp (H, W, C) by affine + additive displacement field.
+
+    ``cval`` may be traced: map_coordinates needs a static fill, so we warp
+    with 0-fill plus a validity plane and blend the fill value in afterwards
+    (exact for both bilinear and nearest sampling).
+    """
     h, w = img.shape[:2]
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
@@ -142,12 +147,14 @@ def _warp_one(img, inv, c, shift, disp, order: int, cval):
     iy = inv[0, 0] * oy + inv[0, 1] * ox + c[0] + disp[..., 0]
     ix = inv[1, 0] * oy + inv[1, 1] * ox + c[1] + disp[..., 1]
 
-    def chan(ci):
+    def sample(plane):
         return jax.scipy.ndimage.map_coordinates(
-            img[..., ci], [iy, ix], order=order, mode="constant", cval=cval
+            plane, [iy, ix], order=order, mode="constant", cval=0.0
         )
 
-    return jnp.stack([chan(ci) for ci in range(img.shape[-1])], axis=-1)
+    warped = jnp.stack([sample(img[..., ci]) for ci in range(img.shape[-1])], axis=-1)
+    valid = sample(jnp.ones((h, w), jnp.float32))
+    return warped + (1.0 - valid[..., None]) * cval
 
 
 def _gaussian_blur(img, sigma, max_radius: int = 5):
