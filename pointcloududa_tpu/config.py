@@ -82,6 +82,8 @@ class UDAConfig:
     epochs: int = 200
     seed: int = 0
     apdx: str = "train_point_tpu"
+    max_hours: float = 24.0  # wall-clock budget (reference 24h cluster limit)
+    load_weight: bool = False  # warm restart from the last checkpoint
 
     # data
     aug: str = "heavy"  # '', 'heavy', 'light'/'aug2' per workload
