@@ -1,0 +1,119 @@
+"""MS-CMRSeg (bSSFP -> LGE) UDA training CLI.
+
+Flag set mirrors reference ``src/train_mscmrseg.py:675-697`` (including the
+store_false semantics of ``-aug``/``-offdecay``), plus TPU-native extras
+(``-dtype``, ``-ndev``, ``-workdir``, ``-logdir``, ``-host_aug``,
+``-workers``).
+
+Usage:
+  python -m pointcloududa_tpu.cli.train_mscmrseg -bs 16 -ns 2000 -e 200 \
+      -d1 -d2 -d4 -data_dir ./input_aug
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pointcloududa_tpu.config import appendix, mscmrseg_default
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-aug", help="whether NOT to augment the data", action="store_false")
+    p.add_argument("-aug2", help="augment with the 2nd (medium) method", action="store_true")
+    p.add_argument("-load_weight", action="store_true")
+    p.add_argument("-bs", type=int, default=16)
+    p.add_argument("-ns", help="samples per epoch", type=int, default=2000)
+    p.add_argument("-e", help="number of epochs", type=int, default=200)
+    p.add_argument("-lr", type=float, default=1e-3)
+    p.add_argument("-lr_fix", type=float, default=1e-3)
+    p.add_argument("-offdecay", help="whether NOT to decay the unet lr", action="store_false")
+    p.add_argument("-decay_e", type=int, default=50)
+    p.add_argument("-apdx", type=str, default="train_point_tpu")
+    p.add_argument("-d1", help="output-space discriminator", action="store_true")
+    p.add_argument("-d2", help="entropy discriminator", action="store_true")
+    p.add_argument("-d4", help="point-cloud discriminator", action="store_true")
+    p.add_argument("-d1lr", type=float, default=2.5e-5)
+    p.add_argument("-d2lr", type=float, default=2.5e-5)
+    p.add_argument("-d4lr", type=float, default=2.5e-5)
+    p.add_argument("-dr", help="discriminator loss ratio for the unet", type=float, default=0.01)
+    p.add_argument("-wp", help="point-cloud loss weight", type=float, default=1.0)
+    p.add_argument("-data_dir", type=str, default="./input_aug")
+    # TPU-native extras
+    p.add_argument("-dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("-ndev", help="devices in the data mesh (0=all)", type=int, default=0)
+    p.add_argument("-workdir", type=str, default="weights")
+    p.add_argument("-logdir", type=str, default="runs")
+    p.add_argument("-host_aug", help="augment on host instead of device", action="store_true")
+    p.add_argument("-workers", type=int, default=4)
+    p.add_argument("-max_hours", type=float, default=24.0)
+    return p
+
+
+def config_from_args(args) -> "UDAConfig":
+    aug = "aug2" if args.aug2 else ("heavy" if args.aug else "")
+    return mscmrseg_default(
+        aug=aug,
+        load_weight=args.load_weight,
+        bs=args.bs,
+        ns=args.ns,
+        epochs=args.e,
+        lr=args.lr,
+        lr_fix=args.lr_fix,
+        offdecay=args.offdecay,
+        decay_e=args.decay_e,
+        apdx=args.apdx,
+        d1=args.d1,
+        d2=args.d2,
+        d4=args.d4,
+        d1lr=args.d1lr,
+        d2lr=args.d2lr,
+        d4lr=args.d4lr,
+        dr=args.dr,
+        wp=args.wp,
+        data_dir=args.data_dir,
+        compute_dtype=args.dtype,
+        num_devices=args.ndev,
+        max_hours=args.max_hours,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    print(appendix(cfg))
+
+    from pointcloududa_tpu.data.build import build_mscmrseg_pipelines
+    from pointcloududa_tpu.parallel import create_mesh
+    from pointcloududa_tpu.train.loop import UDATrainer
+
+    device_augment = not args.host_aug
+    train_iter, val_iters = build_mscmrseg_pipelines(
+        cfg, workers=args.workers, device_augment=device_augment
+    )
+    mesh = create_mesh(cfg.num_devices)
+    trainer = UDATrainer(
+        cfg,
+        train_iter,
+        val_iters,
+        workdir=args.workdir,
+        logdir=args.logdir,
+        mesh=mesh,
+        device_augment=device_augment,
+    )
+    if cfg.load_weight:
+        from pointcloududa_tpu.train.checkpoint import restore_net_state
+
+        trainer.state = trainer.state.replace(
+            gen=restore_net_state(trainer.ckpt_gen.model_name, trainer.state.gen)
+        )
+        print("generator restored from", trainer.ckpt_gen.model_name)
+    print(
+        f"Training on {len(train_iter._src_sampler)} trainA, "
+        f"{len(train_iter._tgt_sampler)} trainB slices"
+    )
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

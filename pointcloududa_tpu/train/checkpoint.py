@@ -45,6 +45,23 @@ def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
     return _checkpointer().restore(path, item=jax.device_get(target))
 
 
+def restore_net_state(path: str, template: Any) -> Any:
+    """Restore one network's NetState from a checkpoint directory.
+
+    Tolerates both the trainer layout ``{"epoch", "state": {"net": ...}}``
+    and a bare NetState tree — the same dict-or-raw leniency as the
+    reference's loaders (``evaluate_mscmrseg.py:109-115``).
+    """
+    try:
+        payload = restore_pytree(path, {"epoch": np.int64(0), "state": {"net": template, "config": None}})
+        return jax.tree.unflatten(
+            jax.tree.structure(template), jax.tree.leaves(payload["state"]["net"])
+        )
+    except Exception:
+        restored = restore_pytree(path, template)
+        return jax.tree.unflatten(jax.tree.structure(template), jax.tree.leaves(restored))
+
+
 class EarlyStoppingCallback:
     """Patience counter (reference ``callbacks.py:6-30``)."""
 
