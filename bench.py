@@ -42,8 +42,9 @@ def main():
     bs = int(os.environ.get("BENCH_BS", "16"))
     n_steps = int(os.environ.get("BENCH_STEPS", "16"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    chamfer = os.environ.get("BENCH_CHAMFER", "auto")
 
-    cfg = mscmrseg_default(d1=True, d2=True, d4=True, bs=bs, compute_dtype=dtype)
+    cfg = mscmrseg_default(d1=True, d2=True, d4=True, bs=bs, compute_dtype=dtype, chamfer_impl=chamfer)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
 

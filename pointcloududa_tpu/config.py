@@ -93,6 +93,11 @@ class UDAConfig:
     # TPU-native knobs (no reference equivalent)
     compute_dtype: str = "float32"  # "bfloat16" on TPU for speed
     num_devices: int = 0  # 0 = all visible devices (1-D data mesh)
+    chamfer_impl: str = "auto"  # "auto" | "pallas" | "jnp"
+    # NaN guard: the TPU-native stand-in for the reference's always-on
+    # torch.autograd.set_detect_anomaly (train_mscmrseg.py:703) — opt-in
+    # here because it forces sync checks (SURVEY.md §5)
+    debug_nans: bool = False
 
     @property
     def point_head(self) -> bool:

@@ -288,6 +288,10 @@ class SegmentationPointModel(nn.Module):
     batchnorm: bool = True
     drop: bool = False
     heinit: bool = False
+    # auxiliary 1x1 classifier on the bottleneck — subsumes the reference's
+    # older ``Segmentation_model(feature_dis=True)`` variant
+    # (unet.py:139-162, unused by its entry points but part of the API)
+    feature_dis: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -310,6 +314,16 @@ class SegmentationPointModel(nn.Module):
             compute_dtype=self.compute_dtype,
             name="bottleneck",
         )(feats)
+        feat_logits = None
+        if self.feature_dis:
+            feat_logits = nn.Conv(
+                self.n_class,
+                (1, 1),
+                kernel_init=conv_init(self.heinit),
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name="classifier2",
+            )(bott).astype(jnp.float32)
         points = None
         if self.pointnet:
             points = PointHead(
@@ -339,4 +353,4 @@ class SegmentationPointModel(nn.Module):
             param_dtype=jnp.float32,
             name="classifier",
         )(x)
-        return logits.astype(jnp.float32), None, points
+        return logits.astype(jnp.float32), feat_logits, points

@@ -40,6 +40,7 @@ from pointcloududa_tpu.train.state import (
 )
 from pointcloududa_tpu.train.step import make_eval_step, make_train_step
 from pointcloududa_tpu.utils.logging import MetricWriter
+from pointcloududa_tpu.utils.timer import trace_annotation
 
 
 def make_device_preprocess(cfg: UDAConfig, train: bool, device_augment: bool):
@@ -134,6 +135,10 @@ class UDATrainer:
         self.val_iters = val_iters
         self.mesh = mesh
         self.appendix = appendix(cfg)
+        if cfg.debug_nans:
+            # NaN guard — stand-in for the reference's always-on
+            # torch.autograd.set_detect_anomaly (train_mscmrseg.py:703)
+            jax.config.update("jax_debug_nans", True)
 
         models = build_models(cfg)
         self.gen = models[0]
@@ -179,10 +184,11 @@ class UDATrainer:
         metrics_acc = []
         step = 0
         for raw in self.train_iter.epoch():
-            raw = self.place(raw)
-            self._aug_rng, r = jax.random.split(self._aug_rng)
-            batch = self.pre_train(r, raw)
-            self.state, metrics = self.train_step(self.state, batch)
+            with trace_annotation("uda_train_step"):
+                raw = self.place(raw)
+                self._aug_rng, r = jax.random.split(self._aug_rng)
+                batch = self.pre_train(r, raw)
+                self.state, metrics = self.train_step(self.state, batch)
             metrics_acc.append(metrics)
             step += 1
         if not metrics_acc:

@@ -46,6 +46,19 @@ SOURCE_LABEL = 1.0  # reference train_mscmrseg.py:160-161
 TARGET_LABEL = 0.0
 
 
+def _chamfer(cfg: UDAConfig):
+    """Select the Chamfer implementation: the Pallas kernel on TPU (VMEM
+    pairwise matrix, sqrt-on-minima, custom VJP), jnp elsewhere."""
+    impl = cfg.chamfer_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        from pointcloududa_tpu.ops.chamfer_pallas import chamfer_loss_pallas
+
+        return chamfer_loss_pallas
+    return losses.chamfer_loss
+
+
 def _activate(cfg: UDAConfig, logits):
     if cfg.softmax:
         return jax.nn.softmax(logits, axis=-1)
@@ -89,6 +102,7 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
     """
     gen, d1, d2, d4 = models
     gen_tx, d1_tx, d2_tx, d4_tx = optimizers
+    chamfer = _chamfer(cfg)
 
     def step(state: UDATrainState, batch: Dict[str, jnp.ndarray]):
         rng, r_drop_s, r_drop_t, r_d4a, r_d4b, r_d4c = jax.random.split(state.rng, 6)
@@ -113,7 +127,7 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             l1, l2 = _supervised_loss(cfg, o_s, probs_s, mask_s)
             l3 = 0.0
             if cfg.point_head:
-                l3 = losses.chamfer_loss(pv_s, vert_s)
+                l3 = chamfer(pv_s, vert_s)
                 aux["ver_s_loss"] = l3
             unc_s = _entropy_map(cfg, probs_s)
             ent_s = jnp.mean(jnp.sum(unc_s, axis=-1))
@@ -132,7 +146,7 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             adv = ent_t if cfg.Tetpls else 0.0
             d4_stats = d4_stats0
             if cfg.point_head:
-                aux["ver_t_loss"] = losses.chamfer_loss(pv_t, vert_t)  # logged only
+                aux["ver_t_loss"] = chamfer(pv_t, vert_t)  # logged only
             if cfg.d2:
                 out2 = d2.apply({"params": d2_params}, unc_t)
                 adv = adv + cfg.w2 * cfg.dr * losses.bce_with_logits(out2, SOURCE_LABEL)
@@ -286,6 +300,7 @@ def make_eval_step(cfg: UDAConfig, gen):
     """
 
     n_fg = cfg.n_class - 1
+    chamfer = _chamfer(cfg)
 
     def binary_dice(pred_lbl, true_lbl, c):
         p = (pred_lbl == c).astype(jnp.float32)
@@ -304,7 +319,7 @@ def make_eval_step(cfg: UDAConfig, gen):
         vert_loss = jnp.float32(-1.0)
         loss = l1 + l2
         if cfg.point_head:
-            vert_loss = losses.chamfer_loss(pv, batch["vert"])
+            vert_loss = chamfer(pv, batch["vert"])
             if cfg.workload == "mscmrseg" and cfg.d4:
                 # MS-CMRSeg adds the chamfer term to the reported valid loss
                 # (train_mscmrseg.py:72-78); MM-WHS does not (train_mmwhs.py:81)

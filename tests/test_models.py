@@ -82,6 +82,17 @@ def test_unet_real_forward_small():
     assert not np.allclose(np.array(stats0), np.array(stats1))
 
 
+def test_unet_feature_dis_head():
+    # subsumes the reference's Segmentation_model(feature_dis=True)
+    # bottleneck classifier (unet.py:139-162)
+    model = SegmentationPointModel(filters=8, n_block=2, n_class=4, feature_dis=True)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = _abstract_init(model, x, train=False)
+    logits, feat, _ = jax.eval_shape(lambda v, x: model.apply(v, x, train=False), variables, x)
+    assert logits.shape == (1, 32, 32, 4)
+    assert feat.shape == (1, 8, 8, 4)  # bottleneck resolution
+
+
 def test_discriminator_shapes():
     # patch sizes follow torch conv arithmetic: 224->113->57->29->15->8
     d = UncertaintyDiscriminator(in_channel=4)
