@@ -181,11 +181,15 @@ class UDATrainer:
 
     # ------------------------------------------------------------------ #
     def train_epoch(self) -> Dict[str, float]:
+        from pointcloududa_tpu.data.loader import DevicePrefetcher
+
         metrics_acc = []
         step = 0
-        for raw in self.train_iter.epoch():
+        # background thread decodes + places the next batch while the device
+        # runs the current step (vs the reference's blocking host loop)
+        prefetch = DevicePrefetcher(place=self.place, depth=2)
+        for raw in prefetch(self.train_iter.epoch()):
             with trace_annotation("uda_train_step"):
-                raw = self.place(raw)
                 self._aug_rng, r = jax.random.split(self._aug_rng)
                 batch = self.pre_train(r, raw)
                 self.state, metrics = self.train_step(self.state, batch)

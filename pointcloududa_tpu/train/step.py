@@ -47,11 +47,19 @@ TARGET_LABEL = 0.0
 
 
 def _chamfer(cfg: UDAConfig):
-    """Select the Chamfer implementation: the Pallas kernel on TPU (VMEM
-    pairwise matrix, sqrt-on-minima, custom VJP), jnp elsewhere."""
+    """Select the Chamfer implementation.
+
+    Measured on a v5e chip inside the full triple-adversary step: the jnp
+    decomposition (one batched einsum XLA fuses with the min/sqrt consumers)
+    beats the Pallas kernel (per-batch-element grid serialises 16 tiny
+    programs and breaks fusion) — 7073 vs 2813 slices/sec/chip at bs16.
+    ``auto`` therefore picks jnp; the Pallas kernel stays available
+    (``chamfer_impl="pallas"``) and is the building block for larger point
+    clouds where the (B, N, M) matrix would spill to HBM.
+    """
     impl = cfg.chamfer_impl
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        impl = "jnp"
     if impl == "pallas":
         from pointcloududa_tpu.ops.chamfer_pallas import chamfer_loss_pallas
 
