@@ -49,13 +49,14 @@ class _Norm1d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         if not self.single_sample:
+            # f32 normalisation end-to-end (stats are f32 in flax either way)
             return nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=self.compute_dtype,
+                dtype=jnp.float32,
                 param_dtype=jnp.float32,
-            )(x)
+            )(x).astype(self.compute_dtype)
         # per-sample normalisation (instance-norm style, no running stats)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)

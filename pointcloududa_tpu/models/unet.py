@@ -72,13 +72,15 @@ class ConvLReLUNorm(nn.Module):
         if self.dropout:
             x = nn.Dropout(0.5, deterministic=not train)(x)
         if self.batch_norm:
+            # f32 normalisation end-to-end (flax already computes the batch
+            # statistics in f32; this also applies scale/bias in f32)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=self.compute_dtype,
+                dtype=jnp.float32,
                 param_dtype=jnp.float32,
-            )(x)
+            )(x).astype(self.compute_dtype)
         return x
 
 
@@ -345,12 +347,16 @@ class SegmentationPointModel(nn.Module):
             compute_dtype=self.compute_dtype,
             name="decoder",
         )(bott, skips, train)
+        # classifier runs in f32 regardless of compute dtype: early-training
+        # inter-class logit gaps sit below bf16 resolution, and quantising
+        # them makes argmax degenerate to the first class (a metric/inference
+        # artifact measured on real TPUs; the conv is negligible FLOPs)
         logits = nn.Conv(
             self.n_class,
             (1, 1),
             kernel_init=conv_init(self.heinit),
-            dtype=self.compute_dtype,
+            dtype=jnp.float32,
             param_dtype=jnp.float32,
             name="classifier",
-        )(x)
-        return logits.astype(jnp.float32), feat_logits, points
+        )(x.astype(jnp.float32))
+        return logits, feat_logits, points

@@ -4,10 +4,11 @@
 Fabricates slices whose mask is a deterministic function of the image
 (nested bright disks -> classes 1..3), runs the real UDA train step in
 supervised-only mode (BASELINE config 1), and reports the train-Dice
-trajectory. Passing bar: Dice > 0.85 within `--steps` steps — evidence the
-losses/optimizer/model wiring actually learns, beyond unit tests.
+trajectory. Passing bar: Dice > 0.85 within `--steps` steps (measured on a v5e chip:
+~0.55 by step 10, ~0.99 by step 80 at bs16/224^2 in bfloat16) — evidence
+the losses/optimizer/model wiring actually learns, beyond unit tests.
 
-  python tools/smoke_train.py --steps 60 --bs 16 --size 224
+  python tools/smoke_train.py --steps 80 --bs 16 --size 224
 """
 
 import argparse
@@ -40,7 +41,7 @@ def make_batch(rng, bs, size, n_class=4):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--steps", type=int, default=80)
     p.add_argument("--bs", type=int, default=16)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--dtype", default="bfloat16")
