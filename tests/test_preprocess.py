@@ -1,0 +1,92 @@
+"""Tests for the fused device preprocess (augment + normalise + crop +
+one-hot) used by the trainer."""
+
+import jax
+import numpy as np
+
+from pointcloududa_tpu.config import mmwhs_default, mscmrseg_default
+from pointcloududa_tpu.train.loop import make_device_preprocess
+
+
+def _raw_mscmrseg(bs=2, size=48, n_class=4, with_vert=True):
+    rng = np.random.default_rng(0)
+    raw = {
+        "img_s": rng.integers(0, 255, size=(bs, size, size, 3)).astype(np.uint8),
+        "mask_s": rng.integers(0, n_class, size=(bs, size, size)).astype(np.uint8),
+        "img_t": rng.integers(0, 255, size=(bs, size, size, 3)).astype(np.uint8),
+    }
+    if with_vert:
+        raw["vert_s"] = rng.integers(0, 255, size=(bs, 300, 3)).astype(np.float32)
+        raw["vert_t"] = rng.integers(0, 255, size=(bs, 300, 3)).astype(np.float32)
+    return raw
+
+
+def test_preprocess_train_no_aug_values():
+    cfg = mscmrseg_default(crop_size=32, aug="", d4=True)
+    pre = make_device_preprocess(cfg, train=True, device_augment=True)
+    raw = _raw_mscmrseg(size=48)
+    out = pre(jax.random.PRNGKey(0), raw)
+    assert out["img_s"].shape == (2, 32, 32, 3)
+    # /255 normalisation and centre crop (48->32: offset 8)
+    np.testing.assert_allclose(
+        np.array(out["img_s"][0, 0, 0]), raw["img_s"][0, 8, 8] / 255.0, rtol=1e-6
+    )
+    assert out["mask_s"].shape == (2, 32, 32, 4)
+    np.testing.assert_array_equal(
+        np.argmax(np.array(out["mask_s"]), -1), raw["mask_s"][:, 8:40, 8:40]
+    )
+    np.testing.assert_allclose(np.array(out["vert_s"]), raw["vert_s"] / 255.0, rtol=1e-6)
+
+
+def test_preprocess_train_with_device_aug():
+    cfg = mscmrseg_default(crop_size=32, aug="heavy")
+    pre = make_device_preprocess(cfg, train=True, device_augment=True)
+    raw = _raw_mscmrseg(size=48, with_vert=False)
+    out = pre(jax.random.PRNGKey(1), raw)
+    assert out["img_s"].shape == (2, 32, 32, 3)
+    assert float(out["img_s"].max()) <= 1.0 + 1e-6  # normalised after aug
+    assert out["mask_s"].shape == (2, 32, 32, 4)
+    # one-hot masks remain valid
+    np.testing.assert_allclose(np.array(out["mask_s"]).sum(-1), 1.0)
+
+
+def test_preprocess_mmwhs_floats_passthrough():
+    cfg = mmwhs_default(crop_size=32, aug="")
+    pre = make_device_preprocess(cfg, train=True, device_augment=True)
+    rng = np.random.default_rng(2)
+    raw = {
+        "img_s": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+        "mask_s": rng.integers(0, 5, size=(2, 32, 32)).astype(np.uint8),
+        "img_t": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+    }
+    out = pre(jax.random.PRNGKey(0), raw)
+    # volume-normalised floats pass through untouched (no /255, no crop)
+    np.testing.assert_allclose(np.array(out["img_s"]), raw["img_s"], rtol=1e-6)
+    assert out["mask_s"].shape == (2, 32, 32, 5)
+
+
+def test_preprocess_eval():
+    cfg = mscmrseg_default(crop_size=32, d4=True)
+    pre = make_device_preprocess(cfg, train=False, device_augment=False)
+    rng = np.random.default_rng(3)
+    raw = {
+        "img": rng.integers(0, 255, size=(2, 48, 48, 3)).astype(np.uint8),
+        "mask": rng.integers(0, 4, size=(2, 48, 48)).astype(np.uint8),
+        "vert": rng.integers(0, 255, size=(2, 300, 3)).astype(np.float32),
+    }
+    out = pre(raw)
+    assert out["img"].shape == (2, 32, 32, 3)
+    assert out["mask"].shape == (2, 32, 32, 4)
+    assert float(out["vert"].max()) <= 1.0
+
+
+def test_main_dispatcher_help():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pointcloududa_tpu", "--help"],
+        capture_output=True,
+        text=True,
+    )
+    assert "train-mscmrseg" in r.stdout
