@@ -15,7 +15,7 @@ each stage can be parallelised independently.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence
+from typing import Iterator, List
 
 import numpy as np
 

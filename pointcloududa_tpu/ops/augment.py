@@ -29,8 +29,8 @@ intensity ops — same contract as ``seq(images=..., segmentation_maps=...)``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -165,7 +165,6 @@ def _gaussian_blur(img, sigma, max_radius: int = 5):
     sig = jnp.maximum(sigma, 1e-3)
     k = jnp.exp(-0.5 * (x / sig) ** 2)
     k = k / jnp.sum(k)
-    blurred = jnp.apply_along_axis  # noqa: F841 (doc: conv below)
     out = img
     # conv along H then W (img: H, W, C)
     pad = [(r, r), (0, 0), (0, 0)]

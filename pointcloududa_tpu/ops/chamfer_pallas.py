@@ -18,7 +18,7 @@ grid runs one program per batch element.
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

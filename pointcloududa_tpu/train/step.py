@@ -31,8 +31,8 @@ so multi-chip training keeps single-device semantics over the global batch.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, Optional, Tuple
+
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
