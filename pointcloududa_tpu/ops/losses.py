@@ -31,16 +31,40 @@ def _clamped_log(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(jnp.log(x), _LOG_CLAMP)
 
 
+@jax.custom_vjp
 def bce_from_probs(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Binary cross-entropy on probabilities, mean-reduced over all elements.
 
     Equivalent of ``torch.nn.BCELoss()(probs, targets)`` as used for the
-    supervised segmentation loss (reference ``src/train_mscmrseg.py:202``).
+    supervised segmentation loss (reference ``src/train_mscmrseg.py:202``) —
+    including torch's *backward* semantics: the gradient denominator
+    ``p * (1 - p)`` is clamped at 1e-12, which keeps training finite once
+    sigmoid outputs saturate to exactly 0/1 (a plain autodiff of the
+    clamped-log forward yields 0*inf = NaN there; observed as a NaN blow-up
+    ~130 steps into the adversarial smoke on TPU).
     """
     probs = probs.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
     loss = -(targets * _clamped_log(probs) + (1.0 - targets) * _clamped_log(1.0 - probs))
     return jnp.mean(loss)
+
+
+def _bce_from_probs_fwd(probs, targets):
+    p = probs.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    return bce_from_probs(p, t), (p, t)
+
+
+def _bce_from_probs_bwd(res, g):
+    p, t = res
+    n = p.size
+    denom = jnp.maximum(p * (1.0 - p), 1e-12)  # torch BCELoss backward clamp
+    dp = (p - t) / denom * (g / n)
+    dt = (_clamped_log(1.0 - p) - _clamped_log(p)) * (g / n)
+    return dp.astype(p.dtype), dt.astype(t.dtype)
+
+
+bce_from_probs.defvjp(_bce_from_probs_fwd, _bce_from_probs_bwd)
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

@@ -36,6 +36,18 @@ def test_bce_from_probs_clamps_like_torch():
     assert abs(ours - ref) < 1e-4
 
 
+def test_bce_from_probs_grad_matches_torch_and_is_finite_at_saturation():
+    import jax
+
+    probs = np.array([[0.0, 1.0, 0.3, 1e-20, 1.0 - 1e-7]], dtype=np.float32)
+    targets = np.array([[1.0, 0.0, 1.0, 1.0, 0.0]], dtype=np.float32)
+    g = np.array(jax.grad(losses.bce_from_probs)(jnp.array(probs), jnp.array(targets)))
+    assert np.isfinite(g).all()  # plain autodiff would NaN at p in {0, 1}
+    tp = torch.tensor(probs, requires_grad=True)
+    torch.nn.BCELoss()(tp, torch.tensor(targets)).backward()
+    np.testing.assert_allclose(g, tp.grad.numpy(), rtol=1e-4)
+
+
 def test_bce_with_logits_matches_torch():
     logits = RNG.normal(size=(2, 15, 15, 1)).astype(np.float32) * 5
     for label in (0.0, 1.0):
