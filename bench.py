@@ -40,7 +40,7 @@ def main():
     from pointcloududa_tpu.train.step import make_train_step
 
     bs = int(os.environ.get("BENCH_BS", "16"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "16"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "24"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     chamfer = os.environ.get("BENCH_CHAMFER", "auto")
 
@@ -51,18 +51,28 @@ def main():
     batches = [synthetic_batch(cfg, bs, seed=s) for s in range(4)]
     batches = [jax.device_put(b) for b in batches]
 
-    # warmup: compile + 2 steady steps
+    # warmup: compile + steady steps. NOTE: completion is forced by fetching
+    # a scalar that depends on the whole step — on this machine's relayed
+    # TPU backend, block_until_ready returns before remote execution
+    # finishes and silently inflates throughput ~30x (measured).
     for i in range(3):
         state, metrics = step(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics)
+    float(metrics["seg_loss"])
 
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics)
-    elapsed = time.perf_counter() - t0
+    def chain(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, metrics = step(state, batches[i % len(batches)])
+        float(metrics["seg_loss"])  # hard sync (tiny transfer)
+        return time.perf_counter() - t0
 
-    slices_per_sec = bs * n_steps / elapsed
+    # two-point measurement subtracts the constant dispatch+fetch overhead
+    n_small = max(2, n_steps // 4)
+    t_small = min(chain(n_small) for _ in range(2))
+    t_big = min(chain(n_steps) for _ in range(2))
+    per_step = (t_big - t_small) / (n_steps - n_small)
+    slices_per_sec = bs / per_step
     n_chips = jax.device_count()
     print(
         json.dumps(

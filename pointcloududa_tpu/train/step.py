@@ -49,13 +49,12 @@ TARGET_LABEL = 0.0
 def _chamfer(cfg: UDAConfig):
     """Select the Chamfer implementation.
 
-    Measured on a v5e chip inside the full triple-adversary step: the jnp
-    decomposition (one batched einsum XLA fuses with the min/sqrt consumers)
-    beats the Pallas kernel (per-batch-element grid serialises 16 tiny
-    programs and breaks fusion) — 7073 vs 2813 slices/sec/chip at bs16.
-    ``auto`` therefore picks jnp; the Pallas kernel stays available
-    (``chamfer_impl="pallas"``) and is the building block for larger point
-    clouds where the (B, N, M) matrix would spill to HBM.
+    ``auto`` picks the jnp decomposition: one batched einsum XLA fuses with
+    the min/sqrt consumers, whereas the Pallas kernel's per-batch-element
+    grid launches B tiny programs — at N=300 the matrix (360 KB/item) never
+    spills to HBM either way, so fusion wins. The Pallas kernel stays
+    available (``chamfer_impl="pallas"``) and is the right building block
+    for clouds large enough that the (B, N, M) matrix would spill.
     """
     impl = cfg.chamfer_impl
     if impl == "auto":
