@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("-ifasd", type=int, default=1)
     p.add_argument("-nf", type=int, default=32)
     p.add_argument("-dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("-save", help="append per-patient rows to a csv", action="store_true")
+    p.add_argument("-model_name", type=str, default="")
+    p.add_argument("-csv", type=str, default="evaluation_of_models_tf.csv")
     args = p.parse_args(argv)
 
     from pointcloududa_tpu.config import mmwhs_default
@@ -46,7 +49,15 @@ def main(argv=None):
     net = restore_net_state(args.weight_dir, state.gen)
     print("model loaded from", args.weight_dir)
     evaluate_mmwhs(
-        cfg, gen, net, data_dir=args.data_dir, bs=args.bs, ifhd=bool(args.ifhd), ifasd=bool(args.ifasd)
+        cfg,
+        gen,
+        net,
+        data_dir=args.data_dir,
+        bs=args.bs,
+        ifhd=bool(args.ifhd),
+        ifasd=bool(args.ifasd),
+        per_patient_csv=args.csv if args.save else None,
+        model_name=args.model_name,
     )
 
 

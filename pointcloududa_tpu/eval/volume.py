@@ -202,12 +202,18 @@ def evaluate_mmwhs(
     ifasd: bool = True,
     pat_ids=(1003, 1008, 1014, 1019),
     toprint: bool = True,
+    per_patient_csv: Optional[str] = None,
+    model_name: str = "",
 ) -> Dict[str, Dict[str, float]]:
     """4-structure CT evaluation; structures follow the reference's result
-    ordering: myo, la (LA-blood), lv (LV-blood), aa."""
+    ordering: myo, la (LA-blood), lv (LV-blood), aa. ``per_patient_csv``
+    appends one row of structure-mean DC/HD/ASD per patient (the
+    reference's ``save=True`` path, ``evaluate_mmwhs.py:96-103,133-139``).
+    """
     run = make_volume_forward(cfg, gen, bs=bs)
     names = ("myo", "la", "lv", "aa")
     acc = {s: {"dc": [], "hd": [], "asd": []} for s in names}
+    rows = []
     for pat_id in pat_ids:
         x, mask_onehot = read_mmwhs_volume(data_dir, pat_id)
         logits = run(net_state, x)
@@ -222,6 +228,25 @@ def evaluate_mmwhs(
                 acc[s]["hd"].append(h)
             if a != -1:
                 acc[s]["asd"].append(a)
+        rows.append(
+            {
+                "DC": float(np.mean([res[n] for n in (0, 3, 6, 9)])),
+                "HD": float(np.mean([res[n] for n in (1, 4, 7, 10)])),
+                "ASD": float(np.mean([res[n] for n in (2, 5, 8, 11)])),
+                "model": model_name,
+                "pad_id": pat_id,
+            }
+        )
+    if per_patient_csv:
+        import csv
+        import os as _os
+
+        exists = _os.path.exists(per_patient_csv)
+        with open(per_patient_csv, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["DC", "HD", "ASD", "model", "pad_id"])
+            if not exists:
+                w.writeheader()
+            w.writerows(rows)
     out = {}
     for s, d in acc.items():
         out[s] = {

@@ -93,7 +93,7 @@ def mmwhs_fake_data(tmp_path_factory):
     return str(root)
 
 
-def test_evaluate_mmwhs_plumbing(mmwhs_fake_data):
+def test_evaluate_mmwhs_plumbing(mmwhs_fake_data, tmp_path):
     import jax
 
     from pointcloududa_tpu.config import mmwhs_default
@@ -103,6 +103,7 @@ def test_evaluate_mmwhs_plumbing(mmwhs_fake_data):
     cfg = mmwhs_default(filters=4, n_block=2, crop_size=32, fc_inch=0)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     gen, *_ = build_models(cfg)
+    csv_path = str(tmp_path / "eval.csv")
     out = evaluate_mmwhs(
         cfg,
         gen,
@@ -113,8 +114,14 @@ def test_evaluate_mmwhs_plumbing(mmwhs_fake_data):
         ifasd=False,
         pat_ids=(1003,),
         toprint=False,
+        per_patient_csv=csv_path,
+        model_name="d1d2d4",
     )
     assert set(out) == {"myo", "la", "lv", "aa"}
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "DC,HD,ASD,model,pad_id"
+    assert lines[1].endswith("d1d2d4,1003")
 
 
 def test_read_mmwhs_volume_stacking(mmwhs_fake_data):
