@@ -191,6 +191,12 @@ class PointHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.fc_inch <= 0:
+            raise ValueError(
+                "PointHead needs fc_inch = (bottleneck_hw - 5)^2 > 0 "
+                f"(got {self.fc_inch}); the input must be >= 96px for a "
+                "4-block encoder (bottleneck >= 6 for the k6 VALID conv)"
+            )
         if self.ext:
             for ch, name in ((self.conv_inch * 2, "conv1"), (self.conv_inch, "conv2")):
                 x = nn.Conv(
