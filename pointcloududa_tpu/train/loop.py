@@ -241,6 +241,58 @@ class UDATrainer:
         print(line2)
 
     # ------------------------------------------------------------------ #
+    def save_full(self, path: str, epoch: int) -> None:
+        """Snapshot EVERYTHING needed to resume mid-run: all four network
+        states (params + BN stats + optimizer), the augmentation rng, the
+        epoch counter, lr, best-so-far, and the samplers' ring cursors.
+
+        Goes beyond the reference's warm restart (model+optimizer only,
+        ``train_mmwhs.py:537-583``): a resumed run continues the exact
+        data order and decay schedule.
+        """
+        payload = {
+            "epoch": np.int64(epoch),
+            "lr": np.float64(self._lr),
+            "best_val_lge_dice": np.float64(self.best["val_lge_dice"]),
+            "best_epoch": np.int64(self.best["epoch"]),
+            "aug_rng": jax.device_get(self._aug_rng),
+            "state": jax.device_get(self.state),
+        }
+        if hasattr(self.train_iter, "_src_sampler"):
+            payload["src_sampler"] = self.train_iter._src_sampler.state()
+            payload["tgt_sampler"] = self.train_iter._tgt_sampler.state()
+        ckpt_lib.save_pytree(path, payload)
+
+    def restore_full(self, path: str) -> int:
+        """Restore a :meth:`save_full` snapshot; returns the next epoch."""
+        template = {
+            "epoch": np.int64(0),
+            "lr": np.float64(0.0),
+            "best_val_lge_dice": np.float64(0.0),
+            "best_epoch": np.int64(0),
+            "aug_rng": jax.device_get(self._aug_rng),
+            "state": jax.device_get(self.state),
+        }
+        if hasattr(self.train_iter, "_src_sampler"):
+            template["src_sampler"] = self.train_iter._src_sampler.state()
+            template["tgt_sampler"] = self.train_iter._tgt_sampler.state()
+        payload = ckpt_lib.restore_pytree(path, template)
+        self.state = jax.tree.unflatten(
+            jax.tree.structure(self.state), jax.tree.leaves(payload["state"])
+        )
+        if self.mesh is not None:
+            from pointcloududa_tpu.parallel import replicate
+
+            self.state = replicate(self.state, self.mesh)
+        self._aug_rng = jnp.asarray(payload["aug_rng"])
+        self._lr = float(payload["lr"])
+        self.best["val_lge_dice"] = float(payload["best_val_lge_dice"])
+        self.best["epoch"] = int(payload["best_epoch"])
+        if "src_sampler" in payload and hasattr(self.train_iter, "_src_sampler"):
+            self.train_iter._src_sampler.restore(payload["src_sampler"])
+            self.train_iter._tgt_sampler.restore(payload["tgt_sampler"])
+        return int(payload["epoch"]) + 1
+
     def fit(self, epochs: Optional[int] = None) -> Dict:
         cfg = self.cfg
         n_epochs = epochs or cfg.epochs
