@@ -57,6 +57,46 @@ def test_medium_no_geometry(batch):
     np.testing.assert_array_equal(np.array(out_m), masks)
 
 
+def test_flip_rates_match_config():
+    """Statistical check: per-sample flip gates fire at the configured
+    probabilities (heavy: fliplr 0.5, flipud 0.2)."""
+    n = 250
+    # an asymmetric image whose flips are detectable
+    img = np.zeros((n, 8, 8, 1), np.float32)
+    img[:, 0, 0, 0] = 255.0
+    cfg = augment.AugmentConfig(
+        fliplr=0.5, flipud=0.2, croppad_prob=0.0, affine_prob=0.0,
+        elastic_prob=0.0, perspective_prob=0.0, intensity_gate=0.0, invert_prob=0.0,
+    )
+    fn = augment.make_augment_fn(cfg)
+    out, _ = fn(jax.random.PRNGKey(0), img)
+    out = np.array(out)
+    flipped_lr = out[:, 0, -1, 0] > 128
+    flipped_ud = out[:, -1, 0, 0] > 128
+    both = out[:, -1, -1, 0] > 128
+    p_lr = (flipped_lr | both).mean()
+    p_ud = (flipped_ud | both).mean()
+    assert abs(p_lr - 0.5) < 0.12
+    assert abs(p_ud - 0.2) < 0.1
+
+
+def test_affine_gate_rate():
+    """Geometry applies to ~affine_prob of samples (detected via changed
+    center-of-mass of a corner blob)."""
+    n = 200
+    img = np.zeros((n, 16, 16, 1), np.float32)
+    img[:, 2:5, 2:5, 0] = 255.0
+    cfg = augment.AugmentConfig(
+        fliplr=0.0, flipud=0.0, croppad_prob=0.0, affine_prob=0.5,
+        translate=(0.3, 0.4), rotate=(0.0, 0.0), shear=(0.0, 0.0), scale=(1.0, 1.0),
+        elastic_prob=0.0, perspective_prob=0.0, intensity_gate=0.0, invert_prob=0.0,
+    )
+    fn = augment.make_augment_fn(cfg)
+    out, _ = fn(jax.random.PRNGKey(1), img)
+    moved = ~np.isclose(np.array(out), img, atol=20).all(axis=(1, 2, 3))
+    assert abs(moved.mean() - 0.5) < 0.15
+
+
 def test_images_only_mode(batch):
     imgs, _ = batch
     fn = augment.make_augment_fn(augment.light())
