@@ -63,13 +63,18 @@ def build_mscmrseg_pipelines(cfg: UDAConfig, workers: int = 4, device_augment: b
     return train_iter, val_iters
 
 
-def build_mmwhs_pipelines(cfg: UDAConfig, workers: int = 4, device_augment: bool = True):
+def build_mmwhs_pipelines(
+    cfg: UDAConfig, workers: int = 4, device_augment: bool = True, host_cloud_regen: bool = False
+):
     """Returns (train_iter, val_iters, used_device_augment).
 
-    When augmentation is on AND the point head is enabled, augmentation must
-    run on the host so vertex clouds can be regenerated from warped masks
-    (``data_generator_mmwhs.py:256-264``) — the builder forces the host path
-    and tells the caller so the device preprocess skips augmentation.
+    When augmentation is on AND the point head is enabled, vertex clouds
+    must be regenerated from the *warped* masks
+    (``data_generator_mmwhs.py:256-264``). Default: everything stays on
+    device — the preprocess warps both streams' masks and rebuilds clouds
+    with the jitted FPS (``ops/pointcloud_device.py``). Pass
+    ``host_cloud_regen=True`` to use the cv2 + native-FPS host path instead
+    (the reference-shaped pipeline; useful for A/B validation).
     """
     d = cfg.data_dir
     mr_train = load_ids(os.path.join(d, "mr_train_list.csv"))
@@ -78,17 +83,18 @@ def build_mmwhs_pipelines(cfg: UDAConfig, workers: int = 4, device_augment: bool
     ct_valid = load_ids(os.path.join(d, "ct_val_list.csv"))
 
     vert = cfg.point_head
-    need_host_aug = bool(cfg.aug) and vert
+    need_host_aug = bool(cfg.aug) and vert and host_cloud_regen
     if need_host_aug:
         device_augment = False
     host_aug = make_host_augment(cfg.aug) if (cfg.aug and not device_augment) else None
 
     def mk(ids, source, phase, mh, load_vert=None):
         if load_vert is None:
-            # train streams under host augmentation discard the precomputed
-            # clouds (regenerated from warped masks), so skip loading them;
-            # validation never augments and always needs them when vert is on
-            load_vert = vert and (phase == "valid" or not need_host_aug)
+            # train streams under augmentation discard the precomputed
+            # clouds (regenerated from warped masks on device or host), so
+            # skip loading them; validation never augments and always needs
+            # them when the point head is on
+            load_vert = vert and (phase == "valid" or not cfg.aug)
         return MMWHSAdapter(
             data_dir=d,
             ids=ids,

@@ -86,6 +86,11 @@ class PairedIterator:
             a = self._src(src_idx, self._rng)
             b = self._tgt(tgt_idx, self._rng)
             batch = {"img_s": a["img"], "mask_s": a["mask"], "img_t": b["img"]}
+            # the target mask never reaches the loss (unlabelled domain) but
+            # rides along for device-side cloud regeneration after warping
+            # (the reference's generators decode it for the same reason)
+            if "mask" in b:
+                batch["mask_t"] = b["mask"]
             if "vert" in a:
                 batch["vert_s"] = a["vert"]
             if "vert" in b:

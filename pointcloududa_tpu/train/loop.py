@@ -58,6 +58,14 @@ def make_device_preprocess(cfg: UDAConfig, train: bool, device_augment: bool):
         augment_lib.make_augment_fn(aug_cfg) if (train and device_augment and aug_cfg) else None
     )
     is_png = cfg.workload == "mscmrseg"
+    # MM-WHS + augmentation + point head: regenerate clouds on device from
+    # the warped masks (the reference does this per sample on the host via
+    # mcubes+python FPS, data_generator_mmwhs.py:256-264 — its bottleneck).
+    # MS-CMRSeg keeps precomputed clouds regardless of warping (parity:
+    # its generator loads vertex files unconditionally).
+    regen_verts = (
+        train and aug_fn is not None and cfg.point_head and cfg.workload == "mmwhs"
+    )
 
     def crop(x):
         h = x.shape[1]
@@ -83,18 +91,25 @@ def make_device_preprocess(cfg: UDAConfig, train: bool, device_augment: bool):
 
     @jax.jit
     def process_train(rng, raw):
-        r1, r2 = jax.random.split(rng)
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
         img_s, mask_s = aug_pair(r1, raw["img_s"], raw["mask_s"].astype(jnp.int32))
-        img_t, _ = aug_pair(r2, raw["img_t"], None)
+        mask_t = raw["mask_t"].astype(jnp.int32) if (regen_verts and "mask_t" in raw) else None
+        img_t, mask_t = aug_pair(r2, raw["img_t"], mask_t)
         batch = {
             "img_s": crop(norm_img(img_s)),
             "mask_s": jax.nn.one_hot(crop(mask_s), cfg.n_class, dtype=jnp.float32),
             "img_t": crop(norm_img(img_t)),
         }
-        if "vert_s" in raw:
-            batch["vert_s"] = raw["vert_s"].astype(jnp.float32) / 255.0
-        if "vert_t" in raw:
-            batch["vert_t"] = raw["vert_t"].astype(jnp.float32) / 255.0
+        if regen_verts and mask_t is not None:
+            from pointcloududa_tpu.ops.pointcloud_device import masks_to_point_clouds
+
+            batch["vert_s"] = masks_to_point_clouds(mask_s, r3) / 255.0
+            batch["vert_t"] = masks_to_point_clouds(mask_t, r4) / 255.0
+        else:
+            if "vert_s" in raw:
+                batch["vert_s"] = raw["vert_s"].astype(jnp.float32) / 255.0
+            if "vert_t" in raw:
+                batch["vert_t"] = raw["vert_t"].astype(jnp.float32) / 255.0
         return batch
 
     @jax.jit

@@ -123,8 +123,10 @@ def test_mmwhs_cli_config_parity():
         assert tag in a, tag
 
 
-def test_mmwhs_builder_forces_host_aug_for_vert_regen(tmp_path):
-    """aug + point head => host augmentation with vertex regeneration."""
+def test_mmwhs_builder_vert_regen_paths(tmp_path):
+    """aug + point head: device path (default) ships raw target masks for
+    on-device cloud regen; host_cloud_regen=True falls back to cv2 + native
+    FPS in the worker pool."""
     from pointcloududa_tpu.config import mmwhs_default
     from pointcloududa_tpu.data.build import build_mmwhs_pipelines
     from pointcloududa_tpu.data.manifest import write_ids
@@ -147,7 +149,11 @@ def test_mmwhs_builder_forces_host_aug_for_vert_regen(tmp_path):
         write_ids(str(root / f"{split}_list.csv"), ids)
 
     cfg = mmwhs_default(d4=True, aug="light", bs=2, ns=4, data_dir=str(root), crop_size=32)
-    train_iter, val_iters, device_augment = build_mmwhs_pipelines(cfg, workers=0)
+
+    # host fallback path: clouds regenerated in the worker pool
+    train_iter, val_iters, device_augment = build_mmwhs_pipelines(
+        cfg, workers=0, host_cloud_regen=True
+    )
     assert device_augment is False
     batch = next(train_iter.epoch())
     assert batch["vert_s"].shape == (2, 300, 3)
@@ -155,3 +161,18 @@ def test_mmwhs_builder_forces_host_aug_for_vert_regen(tmp_path):
     # validation batches still carry (precomputed) vertices
     vb = next(val_iters["val"]())
     assert vb["vert"].shape == (2, 300, 3)
+
+    # default device path: raw masks ride along, clouds built in preprocess
+    train_iter, _, device_augment = build_mmwhs_pipelines(cfg, workers=0)
+    assert device_augment is True
+    raw = next(train_iter.epoch())
+    assert "mask_t" in raw and "vert_s" not in raw
+    import jax
+
+    from pointcloududa_tpu.train.loop import make_device_preprocess
+
+    pre = make_device_preprocess(cfg, train=True, device_augment=True)
+    out = pre(jax.random.PRNGKey(0), raw)
+    assert out["vert_s"].shape == (2, 300, 3)
+    assert out["vert_t"].shape == (2, 300, 3)
+    assert float(np.array(out["vert_s"]).max()) <= 1.0  # /255 normalised

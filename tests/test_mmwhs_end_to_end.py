@@ -54,7 +54,7 @@ def test_mmwhs_trainer_end_to_end(mmwhs_root, tmp_path):
         data_dir=mmwhs_root,
     )
     train_iter, val_iters, device_augment = build_mmwhs_pipelines(cfg, workers=2)
-    assert device_augment is False  # aug + point head => host path
+    assert device_augment is True  # default: warp + cloud regen on device
     trainer = UDATrainer(
         cfg,
         train_iter,
