@@ -110,10 +110,11 @@ def _affine_matrix(key, cfg: AugmentConfig, h: int, w: int):
 
     sy = jnp.where(gate_aff, _u(ks[2], cfg.scale), 1.0)
     sx = jnp.where(gate_aff, _u(ks[3], cfg.scale), 1.0)
-    # crop&pad percent p: pad p>0 => content shrinks (scale 1/(1+p))
+    # crop&pad percent p: pad p>0 => content shrinks (scale 1/(1+p));
+    # crop p<0 => content zooms in
     cp = jnp.where(gate_cp, _u(ks[4], cfg.croppad), 0.0)
-    sy = sy * (1.0 + cp)
-    sx = sx * (1.0 + cp)
+    sy = sy / (1.0 + cp)
+    sx = sx / (1.0 + cp)
     theta = jnp.deg2rad(jnp.where(gate_aff, _u(ks[5], cfg.rotate), 0.0))
     shear = jnp.deg2rad(jnp.where(gate_aff, _u(ks[6], cfg.shear), 0.0))
     t = jnp.where(gate_aff, _u(ks[7], cfg.translate, (2,)), jnp.zeros(2))
@@ -180,7 +181,7 @@ def _intensity_ops(key, img, cfg: AugmentConfig):
     """Independent-gated intensity family on one (H, W, C) float image
     in [0, 255]."""
     h, w, c = img.shape
-    ks = jax.random.split(key, 20)
+    ks = jax.random.split(key, 21)
     g = cfg.intensity_gate
 
     def gated(i, fn, img, prob=None):
@@ -227,7 +228,7 @@ def _intensity_ops(key, img, cfg: AugmentConfig):
     img = gated(7, lambda im: im * _u(ks[9], cfg.multiply), img)
     img = gated(
         8,
-        lambda im: im + _u(ks[8], cfg.grayscale_alpha) * (jnp.mean(im, -1, keepdims=True) - im),
+        lambda im: im + _u(ks[20], cfg.grayscale_alpha) * (jnp.mean(im, -1, keepdims=True) - im),
         img,
     )
     return jnp.clip(img, 0.0, 255.0)

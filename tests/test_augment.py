@@ -97,6 +97,28 @@ def test_affine_gate_rate():
     assert abs(moved.mean() - 0.5) < 0.15
 
 
+def test_croppad_direction():
+    """pad (p > 0) must SHRINK content (imgaug CropAndPad pads then resizes
+    back); regression for an inverted scale."""
+    img = np.zeros((32, 24, 24, 1), np.float32)
+    img[:, 8:16, 8:16, 0] = 255.0  # 8px-wide centered blob
+    cfg = augment.AugmentConfig(
+        fliplr=0.0, flipud=0.0, croppad_prob=1.0, croppad=(0.5, 0.5),
+        affine_prob=0.0, elastic_prob=0.0, perspective_prob=0.0,
+        intensity_gate=0.0, invert_prob=0.0,
+    )
+    fn = augment.make_augment_fn(cfg)
+    out, _ = fn(jax.random.PRNGKey(0), img)
+    out = np.array(out)
+    # content scaled by 1/1.5: the old blob edge (offset ~4 from center,
+    # in-bounds so unaffected by the random border fill) becomes background,
+    # while the center stays blob
+    center = out[:, 11:13, 11:13, 0]
+    edge = out[:, 8, 11:13, 0]  # offset -3.5..-4 rows from center
+    assert center.mean() > 200.0
+    assert edge.mean() < 50.0
+
+
 def test_images_only_mode(batch):
     imgs, _ = batch
     fn = augment.make_augment_fn(augment.light())
