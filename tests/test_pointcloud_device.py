@@ -45,6 +45,22 @@ def test_device_cloud_empty_mask_rule():
     assert clouds[1].sum() == 0
 
 
+def test_pallas_fps_matches_xla_exactly():
+    """The Pallas FPS kernel must reproduce the XLA loop's greedy sequence
+    point-for-point (interpret mode on CPU; compiled on TPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    mask = np.zeros((2, 64, 64), np.uint8)
+    mask[0, 20:44, 20:44] = 1
+    mask[1, 5:30, 10:50] = 1
+    a = np.array(masks_to_point_clouds(mask, jax.random.PRNGKey(0), number_points=50, impl="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        b = np.array(
+            masks_to_point_clouds(mask, jax.random.PRNGKey(0), number_points=50, impl="pallas")
+        )
+    np.testing.assert_array_equal(a, b)
+
+
 def test_device_fps_greedy_spread():
     """FPS property: the selected set's min pairwise distance is large
     relative to random sampling of the same surface."""
