@@ -20,11 +20,12 @@ Empty/small masks (< min_mask_sum foreground pixels) yield a zero cloud
 (``npy2point.py:113-116``) via a mask rather than control flow, keeping the
 whole thing one traced program.
 
-Measured on a v5e chip: augmentation + 32 cloud regenerations (bs16, 256²)
-take ~550 ms per preprocess call — ~17 ms/cloud vs ~42 ms/cloud for the
-native host FPS on this box's single CPU core, with zero host CPU consumed
-and full overlap with the train step via async dispatch. The sequential
-300-iteration FPS loop dominates; it is latency-bound, not FLOP-bound.
+Measured on a v5e chip: the full MM-WHS preprocess (augmentation of both
+streams + 32 cloud regenerations, bs16, 256²) takes ~118 ms per call with
+the Pallas FPS kernel (ops/fps_pallas.py, selected by impl='auto' on TPU)
+and the single-gather-per-tap warp — vs ~42 ms/cloud for the native host
+FPS on this box's single CPU core, with zero host CPU consumed and full
+overlap with the train step via async dispatch.
 """
 
 from __future__ import annotations
