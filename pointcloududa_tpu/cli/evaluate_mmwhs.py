@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("-save", help="append per-patient rows to a csv", action="store_true")
     p.add_argument("-model_name", type=str, default="")
     p.add_argument("-csv", type=str, default="evaluation_of_models_tf.csv")
+    p.add_argument("-toplot", help="save input/pred/GT triptychs to this dir", type=str, default="")
     args = p.parse_args(argv)
 
     from pointcloududa_tpu.config import mmwhs_default
@@ -58,6 +59,7 @@ def main(argv=None):
         ifasd=bool(args.ifasd),
         per_patient_csv=args.csv if args.save else None,
         model_name=args.model_name,
+        plot_dir=args.toplot or None,
     )
 
 

@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("-pat_lo", type=int, default=6)
     p.add_argument("-pat_hi", type=int, default=46)
     p.add_argument("-csv", type=str, default="")
+    p.add_argument("-toplot", help="save input/pred/GT triptychs to this dir", type=str, default="")
     p.add_argument("-nf", type=int, default=32)
     p.add_argument("-dtype", choices=["float32", "bfloat16"], default="float32")
     args = p.parse_args(argv)
@@ -55,6 +56,7 @@ def main(argv=None):
         pat_id_range=(args.pat_lo, args.pat_hi),
         klc=args.klc,
         per_patient_csv=args.csv or None,
+        plot_dir=args.toplot or None,
     )
 
 

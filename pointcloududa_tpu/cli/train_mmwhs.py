@@ -71,6 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-logdir", type=str, default="runs")
     p.add_argument("-workers", type=int, default=4)
     p.add_argument("-max_hours", type=float, default=24.0)
+    p.add_argument("-patience", help="early stopping patience (0=off)", type=int, default=0)
     p.add_argument("-skip_final_eval", action="store_true")
     return p
 
@@ -122,6 +123,7 @@ def config_from_args(args) -> "UDAConfig":
         compute_dtype=args.dtype,
         num_devices=args.ndev,
         max_hours=args.max_hours,
+        patience=args.patience,
     )
 
 

@@ -47,6 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-host_aug", help="augment on host instead of device", action="store_true")
     p.add_argument("-workers", type=int, default=4)
     p.add_argument("-max_hours", type=float, default=24.0)
+    p.add_argument("-patience", help="early stopping patience (0=off)", type=int, default=0)
     return p
 
 
@@ -75,6 +76,7 @@ def config_from_args(args) -> "UDAConfig":
         compute_dtype=args.dtype,
         num_devices=args.ndev,
         max_hours=args.max_hours,
+        patience=args.patience,
     )
 
 

@@ -84,6 +84,8 @@ class UDAConfig:
     apdx: str = "train_point_tpu"
     max_hours: float = 24.0  # wall-clock budget (reference 24h cluster limit)
     load_weight: bool = False  # warm restart from the last checkpoint
+    patience: int = 0  # early stopping on val_lge_dice (0 = off; the
+    # reference defines EarlyStoppingCallback but never wires it)
 
     # data
     aug: str = "heavy"  # '', 'heavy', 'light'/'aug2' per workload

@@ -77,6 +77,36 @@ def apply_clahe(images: np.ndarray, clip_limit: float = 4.0, tile: int = 8) -> n
     return out
 
 
+def save_triptychs(
+    images: np.ndarray, pred: np.ndarray, gt: np.ndarray, outdir: str, prefix: str, vmax: int = 600
+) -> None:
+    """Write per-slice input/prediction/GT comparison images.
+
+    Headless equivalent of the reference's interactive ``toplot`` loop
+    (``evaluate_mscmrseg.py:155-168``): instead of blocking ``plt.show()``
+    calls, each slice is saved as ``<outdir>/<prefix>_<i>.png``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    os.makedirs(outdir, exist_ok=True)
+    for i, (x, p, m) in enumerate(zip(images, pred, gt)):
+        f, ax = plt.subplots(1, 3, figsize=(10, 4))
+        ax[0].imshow(x[..., 0] if x.ndim == 3 else x, cmap="gray")
+        ax[0].set_title("input")
+        ax[1].imshow(p, cmap="gray", vmin=0, vmax=vmax)
+        ax[1].set_title("prediction")
+        ax[2].imshow(m, cmap="gray", vmin=0, vmax=vmax)
+        ax[2].set_title("ground truth")
+        for a in ax:
+            a.axis("off")
+        f.tight_layout()
+        f.savefig(os.path.join(outdir, f"{prefix}_{i}.png"), dpi=72)
+        plt.close(f)
+
+
 def _read_lge_slices(data_dir: str, pat_id: int, n_slices: int, clahe: bool) -> np.ndarray:
     import cv2
 
@@ -106,6 +136,7 @@ def evaluate_mscmrseg(
     klc: bool = True,
     per_patient_csv: Optional[str] = None,
     toprint: bool = True,
+    plot_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Returns {structure: {dice_mean, dice_std, hd_mean, ...}} over the
     patient range. Structures: endo (label 500), rv (600), myo (200)."""
@@ -133,6 +164,8 @@ def evaluate_mscmrseg(
         for src, dst in ((1, 200), (2, 500), (3, 600)):
             pred = np.where(pred == src, dst, pred)
         masks = nimg.T  # (Z, Y, X) like the per-slice predictions
+        if plot_dir:
+            save_triptychs(vol, pred, masks, plot_dir, f"pat{pat_id}")
         res = metrics_lib.compute_metrics_on_files(masks, pred, ifhd=ifhd, ifasd=ifasd, toprint=toprint)
         # res order: endo(500), rv(600), myo(200) triplets
         for i, s in enumerate(("endo", "rv", "myo")):
@@ -204,6 +237,7 @@ def evaluate_mmwhs(
     toprint: bool = True,
     per_patient_csv: Optional[str] = None,
     model_name: str = "",
+    plot_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
     """4-structure CT evaluation; structures follow the reference's result
     ordering: myo, la (LA-blood), lv (LV-blood), aa. ``per_patient_csv``
@@ -220,6 +254,8 @@ def evaluate_mmwhs(
         pred = np.argmax(logits, axis=-1)
         pred = keep_largest_connected_components(pred).astype(np.uint16)
         gt = np.argmax(mask_onehot, axis=1)
+        if plot_dir:
+            save_triptychs(x, pred, gt, plot_dir, f"ct{pat_id}", vmax=4)
         res = metrics_lib.metrics_mmwhs_volume(gt, pred, ifhd=ifhd, ifasd=ifasd, toprint=toprint)
         for i, s in enumerate(names):
             d, h, a = res[3 * i : 3 * i + 3]

@@ -193,6 +193,9 @@ class UDATrainer:
 
         self.best = {"epoch": 0, "val_lge_dice": -1.0, "train": {}, "valid": {}}
         self._lr = cfg.lr
+        self.early_stop = (
+            ckpt_lib.EarlyStoppingCallback(cfg.patience, mode="max") if cfg.patience > 0 else None
+        )
 
     # ------------------------------------------------------------------ #
     def train_epoch(self) -> Dict[str, float]:
@@ -340,6 +343,11 @@ class UDATrainer:
             if out_of_time:
                 print("wall-clock budget reached; stopping")
                 break
+            if self.early_stop is not None:
+                self.early_stop.step(monitor)
+                if self.early_stop.should_stop():
+                    print(f"early stopping: no val_lge_dice improvement for {cfg.patience} epochs")
+                    break
             if cfg.offdecay and epoch % cfg.decay_e == 0:
                 self._lr *= 0.2
                 self.state = set_generator_lr(self.state, self._lr)

@@ -58,6 +58,7 @@ def test_evaluate_mscmrseg_plumbing(mscmrseg_fake_data, tmp_path):
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     gen, *_ = build_models(cfg)
     csv = str(tmp_path / "per_patient.csv")
+    plots = str(tmp_path / "plots")
     out = evaluate_mscmrseg(
         cfg,
         gen,
@@ -70,11 +71,13 @@ def test_evaluate_mscmrseg_plumbing(mscmrseg_fake_data, tmp_path):
         crop_size=16,
         per_patient_csv=csv,
         toprint=False,
+        plot_dir=plots,
     )
     assert set(out) == {"endo", "rv", "myo"}
     for s in out.values():
         assert -1.0 <= s["dice_mean"] <= 1.0
     assert os.path.exists(csv)
+    assert os.path.exists(os.path.join(plots, "pat6_0.png"))
 
 
 @pytest.fixture(scope="module")
