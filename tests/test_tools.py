@@ -87,6 +87,45 @@ def test_prepare_mscmrseg_png_label_values(tmp_path):
     assert set(np.unique(png)) == {0, 85, 212, 255}
 
 
+def test_prepare_mscmrseg_rotate(tmp_path):
+    import cv2
+
+    img_dir = tmp_path / "img"
+    mask_dir = tmp_path / "mask"
+    vert_dir = tmp_path / "vert"
+    for d in (img_dir, mask_dir, vert_dir):
+        os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[20:44, 24:40] = 85
+    cv2.imwrite(str(img_dir / "a.png"), rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
+    cv2.imwrite(str(mask_dir / "a.png"), mask)
+    with open(tmp_path / "list.csv", "w") as f:
+        f.write("img\na\n")
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import prepare_mscmrseg
+
+    prepare_mscmrseg.main(
+        [
+            "rotate",
+            "--csv", str(tmp_path / "list.csv"),
+            "--out-csv", str(tmp_path / "aug_list.csv"),
+            "--img-dir", str(img_dir),
+            "--mask-dir", str(mask_dir),
+            "--vert-dir", str(vert_dir),
+        ]
+    )
+    from pointcloududa_tpu.data.manifest import load_ids
+
+    ids = load_ids(str(tmp_path / "aug_list.csv"))
+    assert ids == ["a", "a_r1", "a_r2"]
+    r1 = cv2.imread(str(mask_dir / "a_r1.png"), cv2.IMREAD_GRAYSCALE)
+    assert set(np.unique(r1)) <= {0, 85}  # nearest-neighbour keeps label values
+    assert not np.array_equal(r1, mask)  # actually rotated
+    assert np.load(vert_dir / "a_r1.npy").shape == (300, 3)
+
+
 def test_make_pointclouds_tool(tmp_path):
     masks = tmp_path / "mask"
     os.makedirs(masks, exist_ok=True)

@@ -117,9 +117,61 @@ def save_npy(args):
         print(f"saved patient {pat_id} ({len(vol)} slices)")
 
 
+def offline_rotate(args):
+    """Write ``<id>_r1/_r2`` rotated copies of processed image/mask PNGs and
+    an augmented datalist including them.
+
+    The reference's MS-CMRSeg datalists contain ``_r1``/``_r2``
+    offline-rotation-augmented ids (SURVEY.md §2.2 L1) but its repo ships
+    only the csv, not the generator. Convention here: r1 = +angle,
+    r2 = -angle (default 15°), nearest-neighbour for masks, bilinear for
+    images, constant-0 border. Vertex clouds for the rotated copies are
+    regenerated from the rotated masks (data/pointcloud.py).
+    """
+    import cv2
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pointcloududa_tpu.data.manifest import load_ids, write_ids
+    from pointcloududa_tpu.data.pointcloud import mask_to_point_cloud
+
+    ids = load_ids(args.csv)
+    out_ids = list(ids)
+    for i, _id in enumerate(ids):
+        img = cv2.imread(os.path.join(args.img_dir, f"{_id}.png"))
+        mask = cv2.imread(os.path.join(args.mask_dir, f"{_id}.png"), cv2.IMREAD_GRAYSCALE)
+        if img is None or mask is None:
+            raise SystemExit(f"missing slice files for id {_id}")
+        h, w = mask.shape
+        for tag, sign in (("r1", 1.0), ("r2", -1.0)):
+            m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), sign * args.angle, 1.0)
+            ri = cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR, borderValue=0)
+            rm = cv2.warpAffine(mask, m, (w, h), flags=cv2.INTER_NEAREST, borderValue=0)
+            rid = f"{_id}_{tag}"
+            cv2.imwrite(os.path.join(args.img_dir, f"{rid}.png"), ri)
+            cv2.imwrite(os.path.join(args.mask_dir, f"{rid}.png"), rm)
+            if args.vert_dir:
+                np.save(
+                    os.path.join(args.vert_dir, f"{rid}.npy"),
+                    mask_to_point_cloud((rm > 0).astype(np.uint8), seed=i),
+                )
+            out_ids.append(rid)
+        if i % 100 == 0:
+            print(f"{i}/{len(ids)}")
+    write_ids(args.out_csv, out_ids)
+    print(f"wrote {len(out_ids)} ids to {args.out_csv}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sp = p.add_subparsers(dest="cmd", required=True)
+    q = sp.add_parser("rotate", help="offline rotation augmentation (_r1/_r2 ids)")
+    q.add_argument("--csv", required=True, help="input datalist")
+    q.add_argument("--out-csv", required=True, help="augmented datalist to write")
+    q.add_argument("--img-dir", required=True)
+    q.add_argument("--mask-dir", required=True)
+    q.add_argument("--vert-dir", default="", help="also regenerate vertex npys here")
+    q.add_argument("--angle", type=float, default=15.0)
+    q.set_defaults(fn=offline_rotate)
     for cmd, fn in (("png", save_png), ("npy", save_npy)):
         q = sp.add_parser(cmd)
         q.add_argument("--modality", choices=list(MODALITY_FILES), required=True)
