@@ -28,6 +28,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compilation cache: caches locally-compiled programs across
+# processes (measured 12.2 s -> 0.26 s on a toy program). NOTE: on this
+# machine's relayed backend the BIG train-step executable is compiled
+# server-side and bypasses this cache — a full bench run costs ~5-6 min
+# either way; the cache still saves the smaller host-side programs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
 REF_GPU_SLICES_PER_SEC_ESTIMATE = 25.0
 
 
