@@ -87,6 +87,33 @@ def test_prepare_mscmrseg_png_label_values(tmp_path):
     assert set(np.unique(png)) == {0, 85, 212, 255}
 
 
+def test_prepare_mscmrseg_npy_label_chain(tmp_path):
+    """Label npy chain parity: map -> one-hot -> bilinear zoom -> argmax
+    (read_nii_image.py:252-266); output is an integer label map."""
+    from pointcloududa_tpu.utils.nifti import save_nii
+
+    raw = tmp_path / "raw_data/labels"
+    os.makedirs(raw, exist_ok=True)
+    gt = np.zeros((64, 64, 2), dtype=np.int16)
+    gt[10:30, 10:30] = 200
+    gt[30:50, 30:50] = 500
+    gt[50:60, 50:60] = 600
+    save_nii(str(raw / "patient1_LGE_manual.nii.gz"), gt, np.diag([1.25, 1.25, 12.0, 1.0]))
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import prepare_mscmrseg
+
+    out = tmp_path / "npy/trainBmask"
+    prepare_mscmrseg.main(
+        ["npy", "--modality", "lge", "--labels", "--input", str(tmp_path), "--out", str(out),
+         "--pat", "1", "2", "--crop", "32"]
+    )
+    m = np.load(out / "pat_1_lge_0.npy")
+    assert m.shape == (32, 32)
+    assert m.dtype == np.uint8
+    assert set(np.unique(m)) <= {0, 1, 2, 3}
+
+
 def test_prepare_mscmrseg_rotate(tmp_path):
     import cv2
 

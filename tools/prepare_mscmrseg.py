@@ -103,14 +103,20 @@ def save_npy(args):
         vol = np.ascontiguousarray(data.T).astype(np.float64)
         spacing = np.abs(np.array(header["pixdim"][1:3]))
         factor = spacing / np.array(args.spacing[:2])
-        order = 0 if args.labels else 1
-        vol = ndimage.zoom(vol, [1.0, factor[1], factor[0]], order=order)
-        vol = crop(vol, args.crop)
         if args.labels:
+            # reference chain (read_nii_image.py:252-266): map raw label
+            # values first, one-hot, bilinear-zoom the one-hot planes,
+            # argmax back, crop — NOT a nearest-neighbour zoom of labels
             for src, dst in ((200, 1), (500, 2), (600, 3)):
                 vol = np.where(vol == src, dst, vol)
-            vol = vol.astype(np.uint8)
+            onehot = np.eye(4)[vol.astype(np.int64)]  # (Z, H, W, 4)
+            onehot = np.moveaxis(onehot, -1, 1)  # (Z, 4, H, W)
+            zoomed = ndimage.zoom(onehot, [1.0, 1.0, factor[1], factor[0]], order=1)
+            vol = np.argmax(zoomed, axis=1).astype(np.uint8)
+            vol = crop(vol, args.crop)
         else:
+            vol = ndimage.zoom(vol, [1.0, factor[1], factor[0]], order=1)
+            vol = crop(vol, args.crop)
             vol = ((vol - vol.mean()) / vol.std()).astype(np.float32)
         for i, s in enumerate(vol):
             np.save(os.path.join(args.out, f"pat_{pat_id}_{tag}_{i}.npy"), s)
