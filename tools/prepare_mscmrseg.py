@@ -74,7 +74,7 @@ def save_png(args):
     import cv2
 
     img_tpl, lbl_tpl, tag = MODALITY_FILES[args.modality]
-    sub = "labels" if args.labels else "dataset"
+    sub = os.path.join("labels", args.labels_subdir) if args.labels else "dataset"
     tpl = lbl_tpl if args.labels else img_tpl
     os.makedirs(args.out, exist_ok=True)
     for pat_id in range(args.pat[0], args.pat[1]):
@@ -94,7 +94,7 @@ def save_npy(args):
     from scipy import ndimage
 
     img_tpl, lbl_tpl, tag = MODALITY_FILES[args.modality]
-    sub = "labels" if args.labels else "dataset"
+    sub = os.path.join("labels", args.labels_subdir) if args.labels else "dataset"
     tpl = lbl_tpl if args.labels else img_tpl
     os.makedirs(args.out, exist_ok=True)
     for pat_id in range(args.pat[0], args.pat[1]):
@@ -184,6 +184,13 @@ def main(argv=None):
         q.add_argument("--labels", action="store_true")
         q.add_argument("--input", default="./input")
         q.add_argument("--out", required=True)
+        q.add_argument(
+            "--labels-subdir",
+            default="",
+            help="subdirectory under raw_data/labels (the reference varies: "
+            "'' for training labels, 'lge_test_gt' for the LGE npy chain, "
+            "'t2gt'/'c0gt' for T2/bSSFP)",
+        )
         q.add_argument("--pat", nargs=2, type=int, default=[1, 46])
         q.add_argument("--crop", type=int, default=224)
         if cmd == "npy":
