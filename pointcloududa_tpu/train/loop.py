@@ -334,7 +334,14 @@ class UDATrainer:
                     "valid": vr,
                 }
             out_of_time = (time.perf_counter() - start) > budget
-            ckpt_epoch = n_epochs if out_of_time else epoch
+            stop_early = False
+            if self.early_stop is not None:
+                self.early_stop.step(vr["val_lge_dice"])
+                stop_early = self.early_stop.should_stop()
+            # a terminal epoch (budget or patience) triggers the final-epoch
+            # checkpoint behaviour (.Scr rename + last snapshot), like the
+            # reference's epoch = n_epochs - 1 trick (train_mscmrseg.py:573-574)
+            ckpt_epoch = n_epochs if (out_of_time or stop_early) else epoch
             monitor = vr["val_lge_dice"]
             self.ckpt_gen.step(monitor, {"net": self.state.gen, "config": None}, ckpt_epoch)
             for cb, net in ((self.ckpt_d1, self.state.d1), (self.ckpt_d2, self.state.d2), (self.ckpt_d4, self.state.d4)):
@@ -343,11 +350,9 @@ class UDATrainer:
             if out_of_time:
                 print("wall-clock budget reached; stopping")
                 break
-            if self.early_stop is not None:
-                self.early_stop.step(monitor)
-                if self.early_stop.should_stop():
-                    print(f"early stopping: no val_lge_dice improvement for {cfg.patience} epochs")
-                    break
+            if stop_early:
+                print(f"early stopping: no val_lge_dice improvement for {cfg.patience} epochs")
+                break
             if cfg.offdecay and epoch % cfg.decay_e == 0:
                 self._lr *= 0.2
                 self.state = set_generator_lr(self.state, self._lr)
