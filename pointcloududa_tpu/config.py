@@ -127,6 +127,13 @@ def mscmrseg_default(**overrides) -> UDAConfig:
         fc_inch=81,
         entropy_norm=False,
         d1_on_probs=False,
+        # the reference hardcodes SGD momentum .99 (wd 5e-4) for all three
+        # discriminators and exposes no flags for it
+        # (src/train_mscmrseg.py:434-454); MM-WHS keeps the 0.95 flag
+        # defaults (src/train_mmwhs.py:466-489)
+        d1mmt=0.99,
+        d2mmt=0.99,
+        d4mmt=0.99,
     )
     base.update(overrides)
     return UDAConfig(**base)

@@ -106,7 +106,10 @@ def build_models(cfg: UDAConfig):
 
 def build_optimizers(cfg: UDAConfig):
     gen_tx = (
-        sgd_reference(cfg.lr, momentum=cfg.mmt)
+        # the reference hardcodes momentum .95 under -sgd; its -mmt flag
+        # reaches only the appendix string, never the optimiser
+        # (src/train_mmwhs.py:453-459 vs :744-745)
+        sgd_reference(cfg.lr, momentum=0.95)
         if cfg.sgd
         else adam_reference(cfg.lr)
     )
