@@ -98,6 +98,29 @@ class PairedIterator:
             yield batch
 
 
+class BatchPadder:
+    """Pads raw host batches to a static, mesh-divisible leading dim.
+
+    Remembers the largest (rounded-up) batch size seen on its stream and
+    pads every smaller batch up to it, so one stream compiles exactly one
+    step shape — the ``ns % bs`` / ``len(val) % bs`` tail batch
+    (``src/data_generator_mscmrseg.py:281-291``) no longer triggers a
+    recompile nor breaks mesh divisibility. Pad semantics (wrap + mask):
+    :func:`pointcloududa_tpu.parallel.pad_batch`.
+    """
+
+    def __init__(self, multiple: int = 1):
+        self._multiple = max(1, int(multiple))
+        self._target = 0
+
+    def __call__(self, raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        from pointcloududa_tpu.parallel import pad_batch
+
+        n = next(iter(raw.values())).shape[0]
+        self._target = max(self._target, -(-n // self._multiple) * self._multiple)
+        return pad_batch(raw, self._multiple, self._target)
+
+
 class DevicePrefetcher:
     """Runs an iterator in a background thread, placing batches on device
     (optionally sharded over a mesh) ``depth`` batches ahead."""

@@ -31,8 +31,30 @@ def _clamped_log(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(jnp.log(x), _LOG_CLAMP)
 
 
+def _expand_mask(sample_mask: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """(B,) 0/1 validity mask -> broadcastable (B, 1, ..., 1) float32."""
+    m = sample_mask.astype(jnp.float32)
+    return m.reshape(m.shape + (1,) * (ndim - m.ndim))
+
+
+def masked_mean(x: jnp.ndarray, sample_mask: jnp.ndarray | None) -> jnp.ndarray:
+    """Mean over all elements of ``x``, counting only batch entries (axis 0)
+    whose ``sample_mask`` is 1. With ``sample_mask=None`` this is ``mean``.
+
+    The tail-batch contract: batches are padded to a mesh-divisible size and
+    every loss/metric reduction excludes the pad, preserving the reference's
+    short-batch means (``src/data_generator_mscmrseg.py:281-291`` yields a
+    truncated final batch which torch reduces over as-is).
+    """
+    if sample_mask is None:
+        return jnp.mean(x)
+    x = x.astype(jnp.float32)
+    w = jnp.broadcast_to(_expand_mask(sample_mask, x.ndim), x.shape)
+    return jnp.sum(x * w) / jnp.sum(w)
+
+
 @jax.custom_vjp
-def bce_from_probs(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def _bce_from_probs_all(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Binary cross-entropy on probabilities, mean-reduced over all elements.
 
     Equivalent of ``torch.nn.BCELoss()(probs, targets)`` as used for the
@@ -52,7 +74,7 @@ def bce_from_probs(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 def _bce_from_probs_fwd(probs, targets):
     p = probs.astype(jnp.float32)
     t = targets.astype(jnp.float32)
-    return bce_from_probs(p, t), (p, t)
+    return _bce_from_probs_all(p, t), (p, t)
 
 
 def _bce_from_probs_bwd(res, g):
@@ -64,10 +86,56 @@ def _bce_from_probs_bwd(res, g):
     return dp.astype(p.dtype), dt.astype(t.dtype)
 
 
-bce_from_probs.defvjp(_bce_from_probs_fwd, _bce_from_probs_bwd)
+_bce_from_probs_all.defvjp(_bce_from_probs_fwd, _bce_from_probs_bwd)
 
 
-def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+@jax.custom_vjp
+def _bce_from_probs_masked(probs, targets, mask):
+    """Masked-mean BCE with the same torch-parity backward clamp; ``mask``
+    is broadcastable to ``probs`` and is not differentiated."""
+    p = probs.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    loss = -(t * _clamped_log(p) + (1.0 - t) * _clamped_log(1.0 - p))
+    w = jnp.broadcast_to(mask.astype(jnp.float32), loss.shape)
+    return jnp.sum(loss * w) / jnp.sum(w)
+
+
+def _bce_masked_fwd(probs, targets, mask):
+    p = probs.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    return _bce_from_probs_masked(p, t, mask), (p, t, mask)
+
+
+def _bce_masked_bwd(res, g):
+    p, t, mask = res
+    w = jnp.broadcast_to(mask.astype(jnp.float32), p.shape)
+    s = jnp.sum(w)
+    denom = jnp.maximum(p * (1.0 - p), 1e-12)  # torch BCELoss backward clamp
+    dp = w * (p - t) / denom * (g / s)
+    dt = w * (_clamped_log(1.0 - p) - _clamped_log(p)) * (g / s)
+    return dp.astype(p.dtype), dt.astype(t.dtype), jnp.zeros_like(mask)
+
+
+_bce_from_probs_masked.defvjp(_bce_masked_fwd, _bce_masked_bwd)
+
+
+def bce_from_probs(
+    probs: jnp.ndarray, targets: jnp.ndarray, sample_mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Binary cross-entropy on probabilities (torch ``BCELoss`` parity).
+
+    See :func:`_bce_from_probs_all` for the numerics and the backward-clamp
+    rationale. ``sample_mask`` (B,) restricts the mean to valid samples of a
+    padded tail batch; the unmasked path preserves the original trace.
+    """
+    if sample_mask is None:
+        return _bce_from_probs_all(probs, targets)
+    return _bce_from_probs_masked(probs, targets, _expand_mask(sample_mask, probs.ndim))
+
+
+def bce_with_logits(
+    logits: jnp.ndarray, targets: jnp.ndarray, sample_mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Numerically-stable BCE on logits, mean-reduced.
 
     Equivalent of ``F.binary_cross_entropy_with_logits`` used for every
@@ -79,10 +147,15 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     targets = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), logits.shape)
     # max(x,0) - x*t + log(1 + exp(-|x|))
     loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    return jnp.mean(loss)
+    return masked_mean(loss, sample_mask)
 
 
-def cross_entropy(inputs: jnp.ndarray, labels: jnp.ndarray, class_axis: int = -1) -> jnp.ndarray:
+def cross_entropy(
+    inputs: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_axis: int = -1,
+    sample_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Multi-class cross entropy with integer labels, mean-reduced.
 
     Equivalent of ``F.cross_entropy(inputs, labels)``: applies log-softmax to
@@ -95,7 +168,7 @@ def cross_entropy(inputs: jnp.ndarray, labels: jnp.ndarray, class_axis: int = -1
     logp = jax.nn.log_softmax(inputs, axis=class_axis)
     onehot = jax.nn.one_hot(labels, inputs.shape[class_axis], axis=class_axis, dtype=jnp.float32)
     nll = -jnp.sum(logp * onehot, axis=class_axis)
-    return jnp.mean(nll)
+    return masked_mean(nll, sample_mask)
 
 
 def jaccard_loss(
@@ -105,6 +178,7 @@ def jaccard_loss(
     logits: jnp.ndarray | None = None,
     eps: float = 1e-7,
     class_axis: int = -1,
+    sample_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Soft Jaccard (IoU) loss.
 
@@ -131,6 +205,12 @@ def jaccard_loss(
         else:
             probs = jax.nn.softmax(logits, axis=class_axis)
     probs = probs.astype(jnp.float32)
+    if sample_mask is not None:
+        # zeroing pad samples removes them from the batch+spatial sums below
+        # exactly (the +eps union smoothing is unaffected)
+        m = _expand_mask(sample_mask, probs.ndim)
+        probs = probs * m
+        true = true * m
     axis = class_axis % probs.ndim
     reduce_dims = tuple(d for d in range(probs.ndim) if d != axis)
     intersection = jnp.sum(probs * true, axis=reduce_dims)
@@ -173,7 +253,13 @@ def batch_pairwise_dist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return xx[:, :, None] + yy[:, None, :] - 2.0 * zz
 
 
-def chamfer_loss(x: jnp.ndarray, y: jnp.ndarray, *, eps: float = 1e-5) -> jnp.ndarray:
+def chamfer_loss(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    sample_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Symmetric Chamfer distance between batched point sets (B, N, 3).
 
     Replicates reference ``batch_NN_loss`` (``src/utils/loss.py:40-76``)
@@ -193,12 +279,16 @@ def chamfer_loss(x: jnp.ndarray, y: jnp.ndarray, *, eps: float = 1e-5) -> jnp.nd
     d = jnp.sqrt(p + eps)
     forward = jnp.mean(jnp.min(d, axis=2), axis=1)  # x -> nearest y
     backward = jnp.mean(jnp.min(d, axis=1), axis=1)  # y -> nearest x
-    return jnp.mean(forward) + jnp.mean(backward)
+    return masked_mean(forward, sample_mask) + masked_mean(backward, sample_mask)
 
 
 @partial(jax.jit, static_argnames=("class_axis", "num_labels"))
 def dice_coef_multilabel(
-    y_true: jnp.ndarray, y_pred: jnp.ndarray, class_axis: int = -1, num_labels: int = 4
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    class_axis: int = -1,
+    num_labels: int = 4,
+    sample_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Mean foreground Dice over classes 1..num_labels-1 with +1 smoothing.
 
@@ -210,6 +300,10 @@ def dice_coef_multilabel(
     """
     y_true = y_true.astype(jnp.float32)
     y_pred = y_pred.astype(jnp.float32)
+    if sample_mask is not None:
+        m = _expand_mask(sample_mask, y_true.ndim)
+        y_true = y_true * m
+        y_pred = y_pred * m
     axis = class_axis % y_true.ndim
     y_true = jnp.moveaxis(y_true, axis, -1)
     y_pred = jnp.moveaxis(y_pred, axis, -1)

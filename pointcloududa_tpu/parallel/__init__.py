@@ -3,6 +3,7 @@ ICI; see SURVEY.md §2.6 for the parallelism accounting)."""
 
 from pointcloududa_tpu.parallel.mesh import (  # noqa: F401
     create_mesh,
+    pad_batch,
     shard_batch,
     replicate,
     batch_sharding,

@@ -47,10 +47,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def pad_batch(batch: dict, multiple: int, target: int = 0) -> dict:
+    """Pad the leading (batch) dim of a dict-of-arrays to ``target`` (or the
+    next multiple of ``multiple``), attaching a ``"sample_mask"`` of 1s for
+    real samples and 0s for the pad.
+
+    Pad rows wrap around the batch's own samples (``x[i % n]``) so train-mode
+    BatchNorm sees plausible values; every loss/metric reduction in the step
+    functions excludes the pad via the mask (``losses.masked_mean``),
+    preserving the reference's short-tail-batch means
+    (``src/data_generator_mscmrseg.py:281-291``).
+    """
+    arrays = {k: np.asarray(v) for k, v in batch.items()}
+    n = next(iter(arrays.values())).shape[0]
+    t = max(target, -(-n // multiple) * multiple)
+    if n == t:
+        return batch
+    idx = np.arange(t) % n
+    out = {k: v[idx] for k, v in arrays.items()}
+    base = arrays.get("sample_mask", np.ones(n, np.float32))
+    out["sample_mask"] = np.where(np.arange(t) < n, base[idx], 0.0).astype(np.float32)
+    return out
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host batch (pytree of arrays with a leading batch dim) onto
-    the mesh, sharded over ``data``. The batch size must divide evenly by
-    the mesh size (the pipeline pads the last batch if needed)."""
+    the mesh, sharded over ``data``. Any batch size is accepted: a dict
+    batch whose leading dim does not divide the mesh is wrap-padded to the
+    next multiple via :func:`pad_batch` (consumers must honour the attached
+    ``"sample_mask"`` — both repo step functions do); a non-dict pytree with
+    an indivisible leading dim raises."""
+    n_dev = int(mesh.devices.size)
+    leaves = jax.tree.leaves(batch)
+    if leaves and leaves[0].shape[0] % n_dev != 0:
+        if isinstance(batch, dict):
+            batch = pad_batch(batch, n_dev)
+        else:
+            raise ValueError(
+                f"leading dim {leaves[0].shape[0]} does not divide the "
+                f"{n_dev}-device mesh; pass a dict batch (auto-padded with a "
+                f"sample_mask) or pad it yourself (parallel.pad_batch)"
+            )
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 

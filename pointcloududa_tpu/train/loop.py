@@ -110,6 +110,8 @@ def make_device_preprocess(cfg: UDAConfig, train: bool, device_augment: bool):
                 batch["vert_s"] = raw["vert_s"].astype(jnp.float32) / 255.0
             if "vert_t" in raw:
                 batch["vert_t"] = raw["vert_t"].astype(jnp.float32) / 255.0
+        if "sample_mask" in raw:
+            batch["sample_mask"] = raw["sample_mask"].astype(jnp.float32)
         return batch
 
     @jax.jit
@@ -120,6 +122,8 @@ def make_device_preprocess(cfg: UDAConfig, train: bool, device_augment: bool):
         }
         if "vert" in raw:
             batch["vert"] = raw["vert"].astype(jnp.float32) / 255.0
+        if "sample_mask" in raw:
+            batch["sample_mask"] = raw["sample_mask"].astype(jnp.float32)
         return batch
 
     return process_train if train else process_eval
@@ -149,6 +153,9 @@ class UDATrainer:
         self.train_iter = train_iter
         self.val_iters = val_iters
         self.mesh = mesh
+        # tail batches are wrap-padded to a multiple of the mesh (and to the
+        # stream's full batch size) with a sample_mask; see data.loader.BatchPadder
+        self._pad_multiple = int(mesh.devices.size) if mesh is not None else 1
         self.appendix = appendix(cfg)
         if cfg.debug_nans:
             # NaN guard — stand-in for the reference's always-on
@@ -199,14 +206,16 @@ class UDATrainer:
 
     # ------------------------------------------------------------------ #
     def train_epoch(self) -> Dict[str, float]:
-        from pointcloududa_tpu.data.loader import DevicePrefetcher
+        from pointcloududa_tpu.data.loader import BatchPadder, DevicePrefetcher
 
         metrics_acc = []
         step = 0
         # background thread decodes + places the next batch while the device
-        # runs the current step (vs the reference's blocking host loop)
+        # runs the current step (vs the reference's blocking host loop);
+        # tail batches are padded + masked to a single static shape
         prefetch = DevicePrefetcher(place=self.place, depth=2)
-        for raw in prefetch(self.train_iter.epoch()):
+        padder = BatchPadder(self._pad_multiple)
+        for raw in prefetch(map(padder, self.train_iter.epoch())):
             with trace_annotation("uda_train_step"):
                 self._aug_rng, r = jax.random.split(self._aug_rng)
                 batch = self.pre_train(r, raw)
@@ -219,9 +228,12 @@ class UDATrainer:
         return {k: float(np.mean([m[k] for m in host])) for k in host[0]}
 
     def _validate_one(self, make_iter) -> Dict[str, float]:
+        from pointcloududa_tpu.data.loader import BatchPadder
+
         outs = []
+        padder = BatchPadder(self._pad_multiple)
         for raw in make_iter():
-            batch = self.pre_eval(self.place(raw))
+            batch = self.pre_eval(self.place(padder(raw)))
             out = self.eval_step(self.state.gen, batch)
             outs.append({k: v for k, v in out.items() if k != "logits"})
         host = jax.device_get(outs)

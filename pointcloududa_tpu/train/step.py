@@ -72,16 +72,17 @@ def _activate(cfg: UDAConfig, logits):
     return jax.nn.sigmoid(logits)
 
 
-def _supervised_loss(cfg: UDAConfig, logits, probs, mask_onehot):
+def _supervised_loss(cfg: UDAConfig, logits, probs, mask_onehot, sample_mask=None):
     """Reference quirks preserved: MS-CMRSeg BCE on sigmoid probs
     (``train_mscmrseg.py:202``); MM-WHS ``-softmax`` feeds softmax outputs
     into CE — a double softmax (``train_mmwhs.py:213-214``)."""
     if cfg.softmax:
         labels = jnp.argmax(mask_onehot, axis=-1)
-        l1 = losses.cross_entropy(probs, labels)  # probs as CE input: parity
+        # probs as CE input: parity
+        l1 = losses.cross_entropy(probs, labels, sample_mask=sample_mask)
     else:
-        l1 = losses.bce_from_probs(probs, mask_onehot)
-    l2 = losses.jaccard_loss(mask_onehot, probs)
+        l1 = losses.bce_from_probs(probs, mask_onehot, sample_mask=sample_mask)
+    l2 = losses.jaccard_loss(mask_onehot, probs, sample_mask=sample_mask)
     return l1, l2
 
 
@@ -91,10 +92,10 @@ def _entropy_map(cfg: UDAConfig, probs):
     )
 
 
-def _disc_accuracy(logits, is_source: bool):
+def _disc_accuracy(logits, is_source: bool, sample_mask=None):
     """Fraction classified as source; reference thresholds sigmoid at 0.5
     (``train_mscmrseg.py:270-272``) == logit >= 0."""
-    frac_source = jnp.mean((logits >= 0.0).astype(jnp.float32))
+    frac_source = losses.masked_mean((logits >= 0.0).astype(jnp.float32), sample_mask)
     return frac_source if is_source else 1.0 - frac_source
 
 
@@ -117,6 +118,18 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
         img_t = batch["img_t"]
         vert_s = batch.get("vert_s")
         vert_t = batch.get("vert_t")
+        # padded-tail validity mask (trainer pads ns%bs tails to the full
+        # batch so shapes stay static and mesh-divisible); every loss/metric
+        # reduction below excludes the pad. Full batches carry no mask and
+        # trace exactly as before. BatchNorm statistics do see the wrap-pad
+        # duplicates (documented deviation, PARITY.md — no reference config
+        # has a train tail: 2000 % 16 == 0).
+        sm = batch.get("sample_mask")
+        chamfer_m = (
+            chamfer
+            if sm is None
+            else (lambda a, b: losses.chamfer_loss(a, b, sample_mask=sm))
+        )
 
         d1_params = state.d1.params if cfg.d1 else None
         d2_params = state.d2.params if cfg.d2 else None
@@ -131,13 +144,13 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
                 v, img_s, train=True, mutable=["batch_stats"], rngs={"dropout": r_drop_s}
             )
             probs_s = _activate(cfg, o_s)
-            l1, l2 = _supervised_loss(cfg, o_s, probs_s, mask_s)
+            l1, l2 = _supervised_loss(cfg, o_s, probs_s, mask_s, sm)
             l3 = 0.0
             if cfg.point_head:
-                l3 = chamfer(pv_s, vert_s)
+                l3 = chamfer_m(pv_s, vert_s)
                 aux["ver_s_loss"] = l3
             unc_s = _entropy_map(cfg, probs_s)
-            ent_s = jnp.mean(jnp.sum(unc_s, axis=-1))
+            ent_s = losses.masked_mean(jnp.sum(unc_s, axis=-1), sm)
             sup = l1 + l2 + cfg.wp * l3
             if cfg.etpls and cfg.d2:
                 sup = sup + ent_s  # train_mmwhs.py:227-230
@@ -148,15 +161,15 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             )
             probs_t = _activate(cfg, o_t)
             unc_t = _entropy_map(cfg, probs_t)
-            ent_t = jnp.mean(jnp.sum(unc_t, axis=-1))
+            ent_t = losses.masked_mean(jnp.sum(unc_t, axis=-1), sm)
 
             adv = ent_t if cfg.Tetpls else 0.0
             d4_stats = d4_stats0
             if cfg.point_head:
-                aux["ver_t_loss"] = chamfer(pv_t, vert_t)  # logged only
+                aux["ver_t_loss"] = chamfer_m(pv_t, vert_t)  # logged only
             if cfg.d2:
                 out2 = d2.apply({"params": d2_params}, unc_t)
-                adv = adv + cfg.w2 * cfg.dr * losses.bce_with_logits(out2, SOURCE_LABEL)
+                adv = adv + cfg.w2 * cfg.dr * losses.bce_with_logits(out2, SOURCE_LABEL, sm)
             if cfg.d4:
                 (out4, _, _), m4 = d4.apply(
                     {"params": d4_params, "batch_stats": d4_stats0},
@@ -165,12 +178,12 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
                     mutable=["batch_stats"],
                     rngs={"dropout": r_d4a},
                 )
-                adv = adv + cfg.w4 * cfg.dr * losses.bce_with_logits(out4, SOURCE_LABEL)
+                adv = adv + cfg.w4 * cfg.dr * losses.bce_with_logits(out4, SOURCE_LABEL, sm)
                 d4_stats = m4["batch_stats"]
             if cfg.d1:
                 d1_in = probs_t if cfg.d1_on_probs else o_t
                 out1 = d1.apply({"params": d1_params}, d1_in)
-                adv = adv + cfg.w1 * cfg.dr * losses.bce_with_logits(out1, SOURCE_LABEL)
+                adv = adv + cfg.w1 * cfg.dr * losses.bce_with_logits(out1, SOURCE_LABEL, sm)
 
             aux.update(
                 o_s=o_s,
@@ -213,7 +226,7 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
         # train-time dice on hard predictions (soft_to_hard ties -> multi-hot,
         # reference utils.py:32-40 + metric.py:17-36 with its numLabels=4)
         hard = (aux["o_s"] == jnp.max(aux["o_s"], axis=-1, keepdims=True)).astype(jnp.float32)
-        metrics["seg_dice"] = losses.dice_coef_multilabel(mask_s, hard, num_labels=4)
+        metrics["seg_dice"] = losses.dice_coef_multilabel(mask_s, hard, num_labels=4, sample_mask=sm)
 
         # ---- phases 3+4: discriminators on detached outputs --------------
         # (values from the OLD generator; no gradient flows back to it)
@@ -225,8 +238,8 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             def d1_loss_fn(p):
                 out_src = d1.apply({"params": p}, src_in)
                 out_tgt = d1.apply({"params": p}, tgt_in)
-                loss = losses.bce_with_logits(out_src, SOURCE_LABEL) + losses.bce_with_logits(
-                    out_tgt, TARGET_LABEL
+                loss = losses.bce_with_logits(out_src, SOURCE_LABEL, sm) + losses.bce_with_logits(
+                    out_tgt, TARGET_LABEL, sm
                 )
                 return loss, (out_src, out_tgt)
 
@@ -235,8 +248,8 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             )
             upd, opt = d1_tx.update(d1_grads, state.d1.opt_state, d1_params)
             new_d1 = NetState(optax.apply_updates(d1_params, upd), state.d1.batch_stats, opt)
-            metrics["dis1_acc1"] = _disc_accuracy(o1s, True)
-            metrics["dis1_acc2"] = _disc_accuracy(o1t, False)
+            metrics["dis1_acc1"] = _disc_accuracy(o1s, True, sm)
+            metrics["dis1_acc2"] = _disc_accuracy(o1t, False, sm)
             metrics["d1_loss"] = d1_loss
 
         new_d2 = state.d2
@@ -245,8 +258,8 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             def d2_loss_fn(p):
                 out_src = d2.apply({"params": p}, aux["unc_s"])
                 out_tgt = d2.apply({"params": p}, aux["unc_t"])
-                loss = losses.bce_with_logits(out_src, SOURCE_LABEL) + losses.bce_with_logits(
-                    out_tgt, TARGET_LABEL
+                loss = losses.bce_with_logits(out_src, SOURCE_LABEL, sm) + losses.bce_with_logits(
+                    out_tgt, TARGET_LABEL, sm
                 )
                 return loss, (out_src, out_tgt)
 
@@ -255,8 +268,8 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             )
             upd, opt = d2_tx.update(d2_grads, state.d2.opt_state, d2_params)
             new_d2 = NetState(optax.apply_updates(d2_params, upd), state.d2.batch_stats, opt)
-            metrics["dis2_acc1"] = _disc_accuracy(o2s, True)
-            metrics["dis2_acc2"] = _disc_accuracy(o2t, False)
+            metrics["dis2_acc1"] = _disc_accuracy(o2s, True, sm)
+            metrics["dis2_acc2"] = _disc_accuracy(o2t, False, sm)
             metrics["d2_loss"] = d2_loss
 
         new_d4 = state.d4
@@ -277,8 +290,8 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
                     mutable=["batch_stats"],
                     rngs={"dropout": r_d4c},
                 )
-                loss = losses.bce_with_logits(out_src, SOURCE_LABEL) + losses.bce_with_logits(
-                    out_tgt, TARGET_LABEL
+                loss = losses.bce_with_logits(out_src, SOURCE_LABEL, sm) + losses.bce_with_logits(
+                    out_tgt, TARGET_LABEL, sm
                 )
                 return loss, (out_src, out_tgt, m_b["batch_stats"])
 
@@ -287,8 +300,8 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             )(d4_params)
             upd, opt = d4_tx.update(d4_grads, state.d4.opt_state, d4_params)
             new_d4 = NetState(optax.apply_updates(d4_params, upd), d4_stats_final, opt)
-            metrics["dis4_acc1"] = _disc_accuracy(o4s, True)
-            metrics["dis4_acc2"] = _disc_accuracy(o4t, False)
+            metrics["dis4_acc1"] = _disc_accuracy(o4s, True, sm)
+            metrics["dis4_acc2"] = _disc_accuracy(o4t, False, sm)
             metrics["d4_loss"] = d4_loss
 
         new_state = state.replace(
@@ -309,31 +322,44 @@ def make_eval_step(cfg: UDAConfig, gen):
     n_fg = cfg.n_class - 1
     chamfer = _chamfer(cfg)
 
-    def binary_dice(pred_lbl, true_lbl, c):
+    def binary_dice(pred_lbl, true_lbl, c, sm):
         p = (pred_lbl == c).astype(jnp.float32)
         t = (true_lbl == c).astype(jnp.float32)
+        if sm is not None:
+            m = sm.astype(jnp.float32).reshape((-1,) + (1,) * (p.ndim - 1))
+            p = p * m
+            t = t * m
         inter = jnp.sum(p * t)
         denom = jnp.sum(p) + jnp.sum(t)
         # medpy dc: 0 when both structures are empty
         return jnp.where(denom > 0, 2.0 * inter / jnp.maximum(denom, 1.0), 0.0)
 
     def eval_step(gen_state: NetState, batch):
+        # validity mask of a padded tail batch (val sets are 78/77 slices at
+        # bs 16 — the reference just runs the short final batch,
+        # data_generator_mscmrseg.py:281-291; here it is padded to a static,
+        # mesh-divisible shape and masked out of every reduction)
+        sm = batch.get("sample_mask")
         v = {"params": gen_state.params, "batch_stats": gen_state.batch_stats}
         o, _, pv = gen.apply(v, batch["img"], train=False)
         mask = batch["mask"].astype(jnp.float32)
         probs = _activate(cfg, o)
-        l1, l2 = _supervised_loss(cfg, o, probs, mask)
+        l1, l2 = _supervised_loss(cfg, o, probs, mask, sm)
         vert_loss = jnp.float32(-1.0)
         loss = l1 + l2
         if cfg.point_head:
-            vert_loss = chamfer(pv, batch["vert"])
+            vert_loss = chamfer(pv, batch["vert"]) if sm is None else losses.chamfer_loss(
+                pv, batch["vert"], sample_mask=sm
+            )
             if cfg.workload == "mscmrseg" and cfg.d4:
                 # MS-CMRSeg adds the chamfer term to the reported valid loss
                 # (train_mscmrseg.py:72-78); MM-WHS does not (train_mmwhs.py:81)
                 loss = loss + vert_loss
         pred_lbl = jnp.argmax(o, axis=-1)
         true_lbl = jnp.argmax(mask, axis=-1)
-        dices = jnp.stack([binary_dice(pred_lbl, true_lbl, c) for c in range(1, cfg.n_class)])
+        dices = jnp.stack(
+            [binary_dice(pred_lbl, true_lbl, c, sm) for c in range(1, cfg.n_class)]
+        )
         return {
             "loss": loss,
             "dice": jnp.sum(dices) / n_fg,
