@@ -73,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-max_hours", type=float, default=24.0)
     p.add_argument("-patience", help="early stopping patience (0=off)", type=int, default=0)
     p.add_argument("-skip_final_eval", action="store_true")
+    p.add_argument(
+        "-resume",
+        type=str,
+        default="",
+        help="path for periodic full train-state snapshots; restores from it "
+        "when present (crash recovery)",
+    )
+    p.add_argument("-save_every", help="epochs between -resume snapshots", type=int, default=1)
     return p
 
 
@@ -163,7 +171,19 @@ def main(argv=None):
                     **{name: restore_net_state(cb.model_name, net)}
                 )
         print("warm restart: model+optimizer states restored")
-    trainer.fit()
+        # pre-train validation after the restore (train_mmwhs.py:584-600)
+        trainer.initial_validation()
+    import os
+
+    start_epoch = 1
+    if args.resume and os.path.exists(args.resume):
+        start_epoch = trainer.restore_full(args.resume)
+        print(f"full train state resumed from {args.resume}; continuing at epoch {start_epoch}")
+    trainer.fit(
+        start_epoch=start_epoch,
+        save_full_every=args.save_every if args.resume else 0,
+        save_full_path=args.resume or None,
+    )
 
     if not args.skip_final_eval and trainer.ckpt_gen.final_best_path:
         # auto-evaluate the best checkpoint (train_mmwhs.py:680-686)

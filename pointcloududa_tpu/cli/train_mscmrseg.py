@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-workers", type=int, default=4)
     p.add_argument("-max_hours", type=float, default=24.0)
     p.add_argument("-patience", help="early stopping patience (0=off)", type=int, default=0)
+    p.add_argument(
+        "-resume",
+        type=str,
+        default="",
+        help="path for periodic full train-state snapshots (params, optimizers, "
+        "rng, lr, best, sampler cursors); restores from it when present, so a "
+        "killed run continues where it stopped",
+    )
+    p.add_argument("-save_every", help="epochs between -resume snapshots", type=int, default=1)
     return p
 
 
@@ -104,17 +113,41 @@ def main(argv=None):
         device_augment=device_augment,
     )
     if cfg.load_weight:
+        # warm restart restores the generator AND every enabled
+        # discriminator, then validates before training resumes
+        # (src/train_mscmrseg.py:503-533)
         from pointcloududa_tpu.train.checkpoint import restore_net_state
 
         trainer.state = trainer.state.replace(
             gen=restore_net_state(trainer.ckpt_gen.model_name, trainer.state.gen)
         )
-        print("generator restored from", trainer.ckpt_gen.model_name)
+        for cb, name in (
+            (trainer.ckpt_d1, "d1"),
+            (trainer.ckpt_d2, "d2"),
+            (trainer.ckpt_d4, "d4"),
+        ):
+            if cb is not None:
+                net = getattr(trainer.state, name)
+                trainer.state = trainer.state.replace(
+                    **{name: restore_net_state(cb.model_name, net)}
+                )
+        print("weights restored from", trainer.ckpt_gen.model_name)
+        trainer.initial_validation()
     print(
         f"Training on {len(train_iter._src_sampler)} trainA, "
         f"{len(train_iter._tgt_sampler)} trainB slices"
     )
-    trainer.fit()
+    import os
+
+    start_epoch = 1
+    if args.resume and os.path.exists(args.resume):
+        start_epoch = trainer.restore_full(args.resume)
+        print(f"full train state resumed from {args.resume}; continuing at epoch {start_epoch}")
+    trainer.fit(
+        start_epoch=start_epoch,
+        save_full_every=args.save_every if args.resume else 0,
+        save_full_path=args.resume or None,
+    )
 
 
 if __name__ == "__main__":

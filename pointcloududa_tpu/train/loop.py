@@ -287,6 +287,14 @@ class UDATrainer:
             "best_epoch": np.int64(self.best["epoch"]),
             "aug_rng": jax.device_get(self._aug_rng),
             "state": jax.device_get(self.state),
+            # monitor state of the best-checkpoint callback + early stopping,
+            # so a resumed run keeps the same best/patience decisions
+            "ckpt_best": np.float64(self.ckpt_gen.best_result),
+            "ckpt_epoch": np.int64(self.ckpt_gen.epoch),
+            "es_counter": np.int64(self.early_stop.counter if self.early_stop else 0),
+            "es_best": np.float64(
+                self.early_stop.best_result if self.early_stop else -np.inf
+            ),
         }
         if hasattr(self.train_iter, "_src_sampler"):
             payload["src_sampler"] = self.train_iter._src_sampler.state()
@@ -302,6 +310,10 @@ class UDATrainer:
             "best_epoch": np.int64(0),
             "aug_rng": jax.device_get(self._aug_rng),
             "state": jax.device_get(self.state),
+            "ckpt_best": np.float64(0.0),
+            "ckpt_epoch": np.int64(0),
+            "es_counter": np.int64(0),
+            "es_best": np.float64(0.0),
         }
         if hasattr(self.train_iter, "_src_sampler"):
             template["src_sampler"] = self.train_iter._src_sampler.state()
@@ -318,18 +330,51 @@ class UDATrainer:
         self._lr = float(payload["lr"])
         self.best["val_lge_dice"] = float(payload["best_val_lge_dice"])
         self.best["epoch"] = int(payload["best_epoch"])
+        self.ckpt_gen.best_result = float(payload["ckpt_best"])
+        self.ckpt_gen.epoch = int(payload["ckpt_epoch"])
+        if self.early_stop is not None:
+            self.early_stop.counter = int(payload["es_counter"])
+            self.early_stop.best_result = float(payload["es_best"])
         if "src_sampler" in payload and hasattr(self.train_iter, "_src_sampler"):
             self.train_iter._src_sampler.restore(payload["src_sampler"])
             self.train_iter._tgt_sampler.restore(payload["tgt_sampler"])
         return int(payload["epoch"]) + 1
 
-    def fit(self, epochs: Optional[int] = None) -> Dict:
+    def initial_validation(self) -> Dict[str, float]:
+        """Warm-restart pre-train validation with the reference's print
+        format (``train_mscmrseg.py:511-524``, ``train_mmwhs.py:584-600``)."""
+        vr = self.validate()
+        print(
+            f"valid_loss: {vr['val_loss']:.5f} "
+            f"valid_lge_loss: {vr['val_lge_loss']:.5f} "
+            f"test_lge_loss: {vr['test_lge_loss']:.5f} "
+        )
+        print(
+            f"valid_dice: {vr['val_dice']:.5f} "
+            f"valid_lge_dice: {vr['val_lge_dice']:.5f} "
+            f"test_lge_dice: {vr['test_lge_dice']:.5f} "
+        )
+        return vr
+
+    def fit(
+        self,
+        epochs: Optional[int] = None,
+        start_epoch: int = 1,
+        save_full_every: int = 0,
+        save_full_path: Optional[str] = None,
+    ) -> Dict:
+        """Run training. ``start_epoch`` > 1 continues a :meth:`restore_full`
+        snapshot (decay schedule, best-so-far and checkpoint cadence all pick
+        up where they left off); ``save_full_every``/``save_full_path``
+        enable periodic full snapshots for crash recovery. The wall-clock
+        budget counts from *this* process start (the reference has no mid-run
+        resume; its 24h budget is per submission)."""
         cfg = self.cfg
         n_epochs = epochs or cfg.epochs
         budget = cfg.max_hours * 3600 - 10 * 60  # reference margin (:667)
         start = time.perf_counter()
         slowest_epoch = 0.0
-        for epoch in range(1, n_epochs + 1):
+        for epoch in range(start_epoch, n_epochs + 1):
             e0 = time.perf_counter()
             tr = self.train_epoch()
             vr = self.validate()
@@ -368,6 +413,10 @@ class UDATrainer:
             if cfg.offdecay and epoch % cfg.decay_e == 0:
                 self._lr *= 0.2
                 self.state = set_generator_lr(self.state, self._lr)
+            # full snapshot AFTER the decay so a resume continues the
+            # uninterrupted run's schedule exactly
+            if save_full_every and save_full_path and epoch % save_full_every == 0:
+                self.save_full(save_full_path, epoch)
             # adaptive margin (train_mmwhs.py:673-675)
             slowest_epoch = max(slowest_epoch, time.perf_counter() - e0)
             budget = cfg.max_hours * 3600 - slowest_epoch - 25 * 60

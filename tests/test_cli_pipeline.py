@@ -89,6 +89,37 @@ def test_mscmrseg_end_to_end(mini_dataset, tmp_path):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_mscmrseg_cli_resume_and_load_weight(mini_dataset, tmp_path, capsys):
+    """Drive the real CLI main() three times: (1) a run writing periodic
+    full snapshots via -resume, (2) a -resume continuation that must pick up
+    at the next epoch, (3) a -load_weight warm restart that must restore the
+    discriminators and run the pre-train validation
+    (src/train_mscmrseg.py:503-533)."""
+    from pointcloududa_tpu.cli.train_mscmrseg import main
+
+    snap = str(tmp_path / "snap")
+    common = [
+        "-bs", "2", "-ns", "4", "-d2", "-aug",  # -aug is store_false: no augmentation
+        "-data_dir", mini_dataset,
+        "-workdir", str(tmp_path / "w"), "-logdir", str(tmp_path / "r"),
+        "-dtype", "float32",
+    ]
+    main(common + ["-e", "1", "-resume", snap])
+    assert os.path.exists(snap)
+
+    main(common + ["-e", "2", "-resume", snap])
+    out = capsys.readouterr().out
+    assert "continuing at epoch 2" in out
+    assert "[2/2]" in out and "[1/2]" not in out  # epoch 1 was NOT re-run
+
+    main(common + ["-e", "1", "-load_weight"])
+    out = capsys.readouterr().out
+    assert "weights restored from" in out
+    # the initial validation printed before training (reference format)
+    pre = out.split("Training on")[0]
+    assert "valid_lge_dice:" in pre and "test_lge_dice:" in pre
+
+
 def test_mscmrseg_cli_config_parity():
     from pointcloududa_tpu.cli.train_mscmrseg import build_parser, config_from_args
     from pointcloududa_tpu.config import appendix

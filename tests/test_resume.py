@@ -45,6 +45,63 @@ def _val(cfg):
     return make
 
 
+def _read_metrics(logdir):
+    import json
+    import os
+
+    recs = {}
+    for root, _, files in os.walk(logdir):
+        for f in files:
+            if f == "metrics.jsonl":
+                with open(os.path.join(root, f)) as fh:
+                    for line in fh:
+                        r = json.loads(line)
+                        recs.setdefault(r["step"], {}).update(
+                            {k: v for k, v in r.items() if k not in ("step", "time")}
+                        )
+    return recs
+
+
+def test_kill_and_resume_reproduces_trajectory(tmp_path):
+    """A run killed after a periodic full snapshot and resumed via
+    fit(start_epoch=...) must reproduce the uninterrupted run's per-epoch
+    metric trajectory, including the lr-decay schedule (decay_e=2 fires at
+    the snapshot epoch, so the resume must pick up the POST-decay lr)."""
+    mk = lambda tag: UDATrainer(  # noqa: E731
+        mscmrseg_default(**{**TINY, "epochs": 4}, d2=True, decay_e=2),
+        _SynthIter(mscmrseg_default(**{**TINY, "epochs": 4})),
+        {"val": _val(cfg_v), "val_lge": _val(cfg_v), "test_lge": _val(cfg_v)},
+        workdir=str(tmp_path / f"w_{tag}"),
+        logdir=str(tmp_path / f"r_{tag}"),
+    )
+    cfg_v = mscmrseg_default(**TINY)
+
+    t_full = mk("full")
+    t_full.fit()
+
+    snap = str(tmp_path / "snap")
+    t_a = mk("a")
+    t_a.fit(epochs=2, save_full_every=2, save_full_path=snap)  # "killed" after e2
+
+    t_b = mk("b")
+    start = t_b.restore_full(snap)
+    assert start == 3
+    assert t_b._lr == t_a._lr  # post-decay lr carried over
+    t_b.fit(start_epoch=start)
+
+    want = _read_metrics(tmp_path / "r_full")
+    got = _read_metrics(tmp_path / "r_b")
+    assert sorted(got) == [3, 4]
+    for epoch in (3, 4):
+        for k, v in want[epoch].items():
+            np.testing.assert_allclose(
+                got[epoch][k], v, rtol=1e-5, atol=1e-6, err_msg=f"epoch {epoch} {k}"
+            )
+    # the resumed run's best matches the uninterrupted run's
+    assert t_b.best["epoch"] == t_full.best["epoch"]
+    np.testing.assert_allclose(t_b.best["val_lge_dice"], t_full.best["val_lge_dice"], rtol=1e-5)
+
+
 def test_save_restore_full(tmp_path):
     cfg = mscmrseg_default(**TINY, d2=True)
     vals = {"val": _val(cfg), "val_lge": _val(cfg), "test_lge": _val(cfg)}
