@@ -66,7 +66,8 @@ def test_flip_rates_match_config():
     img[:, 0, 0, 0] = 255.0
     cfg = augment.AugmentConfig(
         fliplr=0.5, flipud=0.2, croppad_prob=0.0, affine_prob=0.0,
-        elastic_prob=0.0, perspective_prob=0.0, intensity_gate=0.0, invert_prob=0.0,
+        elastic_prob=0.0, perspective_prob=0.0, piecewise_prob=0.0,
+        superpixels_prob=0.0, intensity_gate=0.0, invert_prob=0.0,
     )
     fn = augment.make_augment_fn(cfg)
     out, _ = fn(jax.random.PRNGKey(0), img)
@@ -89,7 +90,8 @@ def test_affine_gate_rate():
     cfg = augment.AugmentConfig(
         fliplr=0.0, flipud=0.0, croppad_prob=0.0, affine_prob=0.5,
         translate=(0.3, 0.4), rotate=(0.0, 0.0), shear=(0.0, 0.0), scale=(1.0, 1.0),
-        elastic_prob=0.0, perspective_prob=0.0, intensity_gate=0.0, invert_prob=0.0,
+        elastic_prob=0.0, perspective_prob=0.0, piecewise_prob=0.0,
+        superpixels_prob=0.0, intensity_gate=0.0, invert_prob=0.0,
     )
     fn = augment.make_augment_fn(cfg)
     out, _ = fn(jax.random.PRNGKey(1), img)
@@ -104,8 +106,8 @@ def test_croppad_direction():
     img[:, 8:16, 8:16, 0] = 255.0  # 8px-wide centered blob
     cfg = augment.AugmentConfig(
         fliplr=0.0, flipud=0.0, croppad_prob=1.0, croppad=(0.5, 0.5),
-        affine_prob=0.0, elastic_prob=0.0, perspective_prob=0.0,
-        intensity_gate=0.0, invert_prob=0.0,
+        affine_prob=0.0, elastic_prob=0.0, perspective_prob=0.0, piecewise_prob=0.0,
+        superpixels_prob=0.0, intensity_gate=0.0, invert_prob=0.0,
     )
     fn = augment.make_augment_fn(cfg)
     out, _ = fn(jax.random.PRNGKey(0), img)

@@ -1,0 +1,232 @@
+"""Distribution A/B harness for the augmentation family.
+
+The reference's imgaug pipeline (``src/data_generator_mscmrseg.py:20-84``)
+cannot run here (imgaug is not installed), so parity is checked two ways:
+
+1. **Op-level goldens**: the new kernels (median/average blur, sharpen,
+   emboss, edge detect, HSV conversion) are compared against cv2 — the same
+   backend imgaug itself wraps — on fixed inputs.
+2. **Distribution statistics**: gate firing rates and intensity moments are
+   compared against values derived analytically from the imgaug spec
+   (SomeOf((0,5)) of 15 entries => per-entry p = 1/6; Sometimes halves it;
+   Add(-10,10)/Multiply(0.5,1.5)/AdditiveGaussianNoise(0, 0-12.75) moments),
+   plus a label-preservation regression bound for the geometric family.
+"""
+
+import cv2
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pointcloududa_tpu.ops import augment
+
+GEO_OFF = dict(
+    fliplr=0.0, flipud=0.0, croppad_prob=0.0, affine_prob=0.0,
+    elastic_prob=0.0, piecewise_prob=0.0, perspective_prob=0.0,
+)
+ALL_OFF = dict(
+    **GEO_OFF, intensity_gate=0.0, superpixels_prob=0.0, invert_prob=0.0
+)
+
+
+@pytest.fixture(scope="module")
+def img32():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+
+
+# --------------------------------------------------------------------- #
+# 1. op-level goldens vs cv2
+@pytest.mark.parametrize("k", [3, 5, 7, 9, 11])
+def test_median_blur_matches_cv2(img32, k):
+    ours = np.asarray(
+        augment._median_blur(jnp.asarray(img32, jnp.float32), jnp.int32(k))
+    )
+    want = cv2.medianBlur(img32, k).astype(np.float32)
+    r = k // 2  # cv2 border handling differs; compare the interior
+    np.testing.assert_allclose(ours[r:-r, r:-r], want[r:-r, r:-r], atol=1e-3)
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_average_blur_matches_cv2_odd_k(img32, k):
+    ours = np.asarray(
+        augment._avg_blur(jnp.asarray(img32, jnp.float32), jnp.int32(k))
+    )
+    want = cv2.blur(img32.astype(np.float32), (k, k))
+    r = k // 2
+    np.testing.assert_allclose(ours[r:-r, r:-r], want[r:-r, r:-r], rtol=1e-4, atol=1e-2)
+
+
+def test_sharpen_matches_cv2_filter2d(img32):
+    alpha, light = 0.7, 1.25
+    eff = np.array([[-1, -1, -1], [-1, 8 + light, -1], [-1, -1, -1]], np.float32)
+    ident = np.zeros((3, 3), np.float32)
+    ident[1, 1] = 1.0
+    kernel = (1 - alpha) * ident + alpha * eff
+    want = cv2.filter2D(img32.astype(np.float32), -1, kernel)
+    ours = np.asarray(
+        augment._sharpen(jnp.asarray(img32, jnp.float32), alpha, light)
+    )
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-2)
+
+
+def test_emboss_matches_cv2_filter2d(img32):
+    alpha, s = 0.6, 1.5
+    eff = np.array([[-1 - s, -s, 0], [-s, 1, s], [0, s, 1 + s]], np.float32)
+    ident = np.zeros((3, 3), np.float32)
+    ident[1, 1] = 1.0
+    # cv2.filter2D CORRELATES; our loop indexes kernel[dy,dx] directly == correlation
+    want = cv2.filter2D(img32.astype(np.float32), -1, (1 - alpha) * ident + alpha * eff)
+    ours = np.asarray(augment._emboss(jnp.asarray(img32, jnp.float32), alpha, s))
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-2)
+
+
+def test_hsv_roundtrip_and_matches_cv2(img32):
+    hsv = np.asarray(augment._rgb_to_hsv(jnp.asarray(img32, jnp.float32)))
+    want = cv2.cvtColor(img32, cv2.COLOR_RGB2HSV).astype(np.float32)  # uint8: H in 0..180
+    # uint8 conversion rounds; compare loosely (hue wraps at 180)
+    dh = np.abs(hsv[..., 0] - want[..., 0])
+    dh = np.minimum(dh, 180.0 - dh)
+    assert float(dh.mean()) < 1.0
+    np.testing.assert_allclose(hsv[..., 1:], want[..., 1:], atol=1.5)
+    back = np.asarray(augment._hsv_to_rgb(jnp.asarray(hsv)))
+    np.testing.assert_allclose(back, img32.astype(np.float32), atol=1e-2)
+
+
+def test_superpixels_replace_all_and_none(img32):
+    img = jnp.asarray(img32, jnp.float32)
+    cfg = augment.AugmentConfig(superpixels_replace=(1.0, 1.0))
+    out = np.asarray(augment._superpixels(jax.random.PRNGKey(0), img, cfg))
+    # full replacement: at most n_segments distinct colors (<= 200)
+    uniq = np.unique(out.reshape(-1, 3), axis=0)
+    assert len(uniq) <= 200
+    assert not np.allclose(out, img32)  # something changed
+    cfg0 = augment.AugmentConfig(superpixels_replace=(0.0, 0.0))
+    out0 = np.asarray(augment._superpixels(jax.random.PRNGKey(0), img, cfg0))
+    np.testing.assert_allclose(out0, img32.astype(np.float32))  # identity
+
+
+# --------------------------------------------------------------------- #
+# 2. distribution statistics vs the imgaug spec
+def test_someof_gate_calibration_heavy():
+    """heavy(): per-entry gate = E[SomeOf((0,5))]/15 = 1/6; Sometimes-wrapped
+    entries at 1/12 (superpixels, elastic, piecewise, perspective)."""
+    cfg = augment.heavy()
+    assert abs(cfg.intensity_gate - 2.5 / 15) < 1e-9
+    for p in (cfg.superpixels_prob, cfg.elastic_prob, cfg.piecewise_prob, cfg.perspective_prob):
+        assert abs(p - 0.5 * 2.5 / 15) < 1e-9
+    med = augment.medium()
+    assert abs(med.intensity_gate - 2.5 / 12) < 1e-9
+    assert med.elastic_prob == med.piecewise_prob == med.perspective_prob == 0.0
+
+
+def dataclass_with(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+# params that turn every intensity entry into an identity (their gates
+# still fire, proving gating and neutralisation independently): k=1 blurs,
+# alpha=0 kernels, zero ranges
+NEUTRAL = dict(
+    blur_sigma=(0.0, 0.0), avg_blur_k=(1, 1), median_blur_k=(1, 1),
+    sharpen_alpha=(0.0, 0.0), emboss_alpha=(0.0, 0.0), edge_alpha=(0.0, 0.0),
+    noise_scale=(0.0, 0.0), dropout=(0.0, 0.0), coarse_dropout=(0.0, 0.0),
+    add=(0.0, 0.0), hue_sat=(0.0, 0.0), multiply=(1.0, 1.0),
+    grayscale_alpha=(0.0, 0.0),
+)
+
+
+def test_single_entry_fire_rate_matches_someof_gate():
+    """Neutralise every entry except multiply(1.3,1.5) (which always changes
+    a non-zero image when it fires): the observed change rate must equal the
+    per-entry SomeOf gate p = 2.5/15 = 1/6."""
+    cfg = dataclass_with(
+        augment.AugmentConfig(**{**ALL_OFF, "intensity_gate": 2.5 / 15}),
+        **{**NEUTRAL, "multiply": (1.3, 1.5)},
+    )
+    n = 400
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(40, 216, size=(n, 16, 16, 3)).astype(np.uint8)
+    fn = augment.make_augment_fn(cfg)
+    out, _ = fn(jax.random.PRNGKey(0), imgs)
+    changed = ~np.isclose(
+        np.asarray(out), imgs.astype(np.float32), atol=0.5
+    ).all(axis=(1, 2, 3))
+    assert abs(changed.mean() - 1 / 6) < 0.07
+
+
+def test_neutral_params_are_identities():
+    """k=1 blurs / alpha-0 kernels / zero ranges pass images through even
+    with every gate firing — the basis of the isolation tests above."""
+    cfg = dataclass_with(
+        augment.AugmentConfig(**{**ALL_OFF, "intensity_gate": 1.0}), **NEUTRAL
+    )
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, size=(16, 16, 16, 3)).astype(np.uint8)
+    fn = augment.make_augment_fn(cfg)
+    out, _ = fn(jax.random.PRNGKey(1), imgs)
+    np.testing.assert_allclose(np.asarray(out), imgs.astype(np.float32), atol=0.3)
+
+
+def test_add_moment_matches_uniform_spec():
+    """iaa.Add((-10,10)) when firing: per-sample shift ~ U(-10,10). Enable
+    only the add entry (gate 1) and check the shift distribution moments."""
+    cfg = dataclass_with(
+        augment.AugmentConfig(**{**ALL_OFF, "intensity_gate": 1.0}),
+        **{**NEUTRAL, "add": (-10.0, 10.0)},
+    )
+    n = 400
+    base = np.full((n, 8, 8, 3), 128.0, np.float32)
+    fn = augment.make_augment_fn(cfg)
+    out, _ = fn(jax.random.PRNGKey(3), base)
+    shifts = np.asarray(out).mean(axis=(1, 2, 3)) - 128.0
+    # iaa.Add((-10,10), per_channel=0.5): half the samples get one shared
+    # U(-10,10) shift (E|s| = 5), half get 3 independent per-channel shifts
+    # whose image mean averages them (E|mean of 3 U| from the spec, by MC)
+    mc = np.random.default_rng(0).uniform(-10, 10, (200000, 3)).mean(axis=1)
+    expect_abs = 0.5 * 5.0 + 0.5 * np.abs(mc).mean()
+    expect_std = np.sqrt(0.5 * (100 / 3) + 0.5 * mc.var())
+    assert abs(shifts.mean()) < 0.8
+    assert abs(np.abs(shifts).mean() - expect_abs) < 0.7
+    assert abs(shifts.std() - expect_std) < 0.8
+    assert np.abs(shifts).max() <= 10.01
+
+
+def test_noise_moment_matches_spec():
+    """AdditiveGaussianNoise(scale=(0, 12.75)): per-sample noise std ~
+    U(0, 12.75) => E[std] = 6.375."""
+    cfg = dataclass_with(
+        augment.AugmentConfig(**{**ALL_OFF, "intensity_gate": 1.0}),
+        **{**NEUTRAL, "noise_scale": (0.0, 12.75)},
+    )
+    n = 300
+    base = np.full((n, 16, 16, 3), 128.0, np.float32)
+    fn = augment.make_augment_fn(cfg)
+    out, _ = fn(jax.random.PRNGKey(5), base)
+    stds = np.asarray(out).std(axis=(1, 2, 3))
+    assert abs(stds.mean() - 6.375) < 0.9
+    assert stds.max() < 14.5  # scale cap + std-estimator variance
+
+
+def test_label_preservation_under_heavy_geometry():
+    """Geometric family on a centred structure: the warped mask keeps all
+    original labels in >= 80% of samples (regression bound for the
+    translate(+-20%)/scale(0.8-1.2)/rotate(45)/shear(16) family), and labels
+    never leave the input label set."""
+    n = 200
+    imgs = np.full((n, 32, 32, 3), 128, np.uint8)
+    masks = np.zeros((n, 32, 32), np.int32)
+    masks[:, 10:22, 10:22] = 1
+    masks[:, 13:19, 13:19] = 2
+    cfg = dataclass_with(
+        augment.heavy(), intensity_gate=0.0, superpixels_prob=0.0, invert_prob=0.0
+    )
+    fn = augment.make_augment_fn(cfg)
+    _, out_m = fn(jax.random.PRNGKey(11), imgs, masks)
+    out_m = np.asarray(out_m)
+    assert set(np.unique(out_m)) <= {0, 1, 2}
+    kept = np.mean([set(np.unique(m)) == {0, 1, 2} for m in out_m])
+    assert kept >= 0.8
