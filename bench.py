@@ -91,6 +91,12 @@ def main():
                 "value": round(slices_per_sec / n_chips, 2),
                 "unit": "slices/sec/chip",
                 "vs_baseline": round(slices_per_sec / n_chips / REF_GPU_SLICES_PER_SEC_ESTIMATE, 3),
+                "vs_baseline_basis": (
+                    "ESTIMATED denominator: 25 slices/s for the as-published "
+                    "reference (unmeasured; it publishes no throughput). "
+                    "Derivation in BASELINE.md: fp32-V100 FLOP ceiling 79 "
+                    "slices/s, realistic 28-43, detect_anomaly-on 5-25."
+                ),
             }
         )
     )
