@@ -211,6 +211,37 @@ def test_noise_moment_matches_spec():
     assert stds.max() < 14.5  # scale cap + std-estimator variance
 
 
+def test_host_twin_neutral_params_near_identity():
+    """The cv2 host twin honours the same AugmentConfig: with every gate
+    firing but neutral params it passes images through (tolerance covers
+    cv2's uint8 HSV round-trip quantisation)."""
+    from pointcloududa_tpu.ops.host_augment import augment_batch
+
+    cfg = dataclass_with(
+        augment.AugmentConfig(**{**ALL_OFF, "intensity_gate": 1.0}), **NEUTRAL
+    )
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 256, size=(6, 16, 16, 3)).astype(np.uint8)
+    out, _ = augment_batch(imgs, None, np.random.default_rng(0), cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out, np.float32), imgs.astype(np.float32), atol=6.0)
+
+
+def test_host_twin_heavy_contract():
+    """Full heavy host pipeline: shapes, range, label subset preserved."""
+    from pointcloududa_tpu.ops.host_augment import make_host_augment
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, size=(8, 32, 32, 3)).astype(np.uint8)
+    masks = np.zeros((8, 32, 32), np.int32)
+    masks[:, 10:22, 10:22] = 1
+    masks[:, 13:19, 13:19] = 2
+    fn = make_host_augment("heavy")
+    oi, om = fn(imgs, masks, np.random.default_rng(0))
+    assert oi.shape == imgs.shape and om.shape == masks.shape
+    assert 0.0 <= float(np.min(oi)) and float(np.max(oi)) <= 255.0
+    assert set(np.unique(om)) <= {0, 1, 2}
+
+
 def test_label_preservation_under_heavy_geometry():
     """Geometric family on a centred structure: the warped mask keeps all
     original labels in >= 80% of samples (regression bound for the
