@@ -53,8 +53,12 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "24"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     chamfer = os.environ.get("BENCH_CHAMFER", "auto")
+    packed = os.environ.get("BENCH_PACKED", "1") != "0"
 
-    cfg = mscmrseg_default(d1=True, d2=True, d4=True, bs=bs, compute_dtype=dtype, chamfer_impl=chamfer)
+    cfg = mscmrseg_default(
+        d1=True, d2=True, d4=True, bs=bs, compute_dtype=dtype, chamfer_impl=chamfer,
+        packed_level0=packed,
+    )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
 

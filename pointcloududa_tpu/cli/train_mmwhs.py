@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("-dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("-ndev", type=int, default=0)
+    p.add_argument(
+        "-no_packed",
+        help="disable the s2d-packed level-0 layout (ops/packed.py; numerically "
+        "equivalent, measured +46%% step throughput on TPU)",
+        action="store_true",
+    )
     p.add_argument("-workdir", type=str, default="weights")
     p.add_argument("-logdir", type=str, default="runs")
     p.add_argument("-workers", type=int, default=4)
@@ -132,6 +138,7 @@ def config_from_args(args) -> "UDAConfig":
         num_devices=args.ndev,
         max_hours=args.max_hours,
         patience=args.patience,
+        packed_level0=not args.no_packed,
     )
 
 

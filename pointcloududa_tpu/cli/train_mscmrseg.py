@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-workdir", type=str, default="weights")
     p.add_argument("-logdir", type=str, default="runs")
     p.add_argument("-host_aug", help="augment on host instead of device", action="store_true")
+    p.add_argument(
+        "-no_packed",
+        help="disable the s2d-packed level-0 layout (ops/packed.py; numerically "
+        "equivalent, measured +46%% step throughput on TPU)",
+        action="store_true",
+    )
     p.add_argument("-workers", type=int, default=4)
     p.add_argument("-max_hours", type=float, default=24.0)
     p.add_argument("-patience", help="early stopping patience (0=off)", type=int, default=0)
@@ -86,6 +92,7 @@ def config_from_args(args) -> "UDAConfig":
         num_devices=args.ndev,
         max_hours=args.max_hours,
         patience=args.patience,
+        packed_level0=not args.no_packed,
     )
 
 

@@ -96,6 +96,10 @@ class UDAConfig:
     compute_dtype: str = "float32"  # "bfloat16" on TPU for speed
     num_devices: int = 0  # 0 = all visible devices (1-D data mesh)
     chamfer_impl: str = "auto"  # "auto" | "pallas" | "jnp"
+    # run the 224^2 C=32 U-Net level space-to-depth packed (ops/packed.py):
+    # numerically equivalent, removes the 4x lane padding the r2 profile
+    # identified as the step bottleneck (docs/SCALING.md)
+    packed_level0: bool = False
     # NaN guard: the TPU-native stand-in for the reference's always-on
     # torch.autograd.set_detect_anomaly (train_mscmrseg.py:703) — opt-in
     # here because it forces sync checks (SURVEY.md §5)

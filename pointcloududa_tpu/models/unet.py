@@ -23,10 +23,22 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from pointcloududa_tpu.models.init import conv_init, torch_linear_init
+from pointcloududa_tpu.ops.packed import (
+    depth_to_space,
+    pack_bias,
+    pack_conv_kernel,
+    pack_pointwise_kernel,
+    pack_upconv_kernel,
+    packed_bn_stats,
+    packed_conv,
+    packed_max_pool,
+    space_to_depth,
+)
 
 LEAKY_SLOPE = 0.01  # torch nn.LeakyReLU() default, used by the whole generator
 
@@ -84,6 +96,102 @@ class ConvLReLUNorm(nn.Module):
         return x
 
 
+class _PConv(nn.Module):
+    """Packed twin of a 3x3/1x1 ``nn.Conv``: parameters are declared in the
+    ORIGINAL unpacked shape under the same names (``kernel``/``bias``), so
+    checkpoints interoperate with the standard path; the kernel is packed on
+    the fly (see ``ops/packed.py``). ``kind``:
+
+    - ``conv``:      packed in (B,h,w,4C) -> packed out (B,h,w,4K)
+    - ``upconv``:    UNPACKED low-res in (B,h,w,C) -> packed out (B,h,w,4K)
+                     == nearest-up(2x) + 3x3 SAME conv, fused
+    - ``pointwise``: packed 1x1 conv (sub-position block-diagonal)
+    """
+
+    features: int
+    kind: str = "conv"
+    heinit: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1] if self.kind == "upconv" else x.shape[-1] // 4
+        spatial = (1, 1) if self.kind == "pointwise" else (3, 3)
+        kernel = self.param(
+            "kernel", conv_init(self.heinit), (*spatial, c_in, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        pack = {
+            "conv": pack_conv_kernel,
+            "upconv": pack_upconv_kernel,
+            "pointwise": pack_pointwise_kernel,
+        }[self.kind]
+        return packed_conv(
+            x.astype(self.compute_dtype),
+            pack(kernel).astype(self.compute_dtype),
+            pack_bias(bias).astype(self.compute_dtype),
+        )
+
+
+class _PBatchNorm(nn.Module):
+    """Packed twin of ``nn.BatchNorm(dtype=f32)``: per-ORIGINAL-channel
+    statistics over (batch, space, sub-position lanes), flax semantics
+    (f32 fast variance with clipping, momentum running update, frozen at
+    init). Params/stats have the unpacked (C,) shape and flax's names."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xp, use_running_average: bool):
+        c = xp.shape[-1] // 4
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = packed_bn_stats(xp)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * mul
+        return xp.astype(jnp.float32) * pack_bias(mul) + pack_bias(shift)
+
+
+class PackedConvLReLUNorm(nn.Module):
+    """Packed twin of :class:`ConvLReLUNorm` (child names ``Conv_0``/
+    ``Dropout_0``/``BatchNorm_0`` match the standard path's auto-names, so
+    the param/state tree is identical). Dropout draws its mask in the packed
+    layout — same marginal distribution, different RNG alignment."""
+
+    features: int
+    batch_norm: bool = True
+    dropout: bool = False
+    heinit: bool = False
+    compute_dtype: Any = jnp.float32
+    kind: str = "conv"
+
+    @nn.compact
+    def __call__(self, xp, train: bool):
+        xp = _PConv(
+            self.features,
+            kind=self.kind,
+            heinit=self.heinit,
+            compute_dtype=self.compute_dtype,
+            name="Conv_0",
+        )(xp)
+        xp = _leaky(xp)
+        if self.dropout:
+            xp = nn.Dropout(0.5, deterministic=not train, name="Dropout_0")(xp)
+        if self.batch_norm:
+            xp = _PBatchNorm(name="BatchNorm_0")(xp, use_running_average=not train)
+            xp = xp.astype(self.compute_dtype)
+        return xp
+
+
 class Encoder(nn.Module):
     """4-block downsampling path with the dense 1x1-conv remix.
 
@@ -98,6 +206,7 @@ class Encoder(nn.Module):
     batch_norm: bool = True
     heinit: bool = False
     dead_conv_parity: bool = True
+    packed_level0: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -107,6 +216,34 @@ class Encoder(nn.Module):
         for i in range(self.n_block):
             out_ch = self.filters * 2**i
             in_ch = self.in_channels if i == 0 else self.filters * 2 ** (i - 1)
+            if i == 0 and self.packed_level0:
+                # level-0 runs space-to-depth packed (ops/packed.py): the
+                # skip is stored PACKED (the decoder's matching branch
+                # consumes it) and the 2x2 pool collapses the sub-position
+                # lanes, handing block 2 the standard unpacked tensor.
+                xp = space_to_depth(x)
+                for j in range(2):
+                    xp = PackedConvLReLUNorm(
+                        out_ch,
+                        batch_norm=self.batch_norm,
+                        heinit=self.heinit,
+                        compute_dtype=self.compute_dtype,
+                        name=f"encoder1_conv{j + 1}",
+                    )(xp, train)
+                skips.append(xp)
+                if self.dead_conv_parity:
+                    self.param(
+                        "conv1_1_dead_kernel",
+                        conv_init(self.heinit),
+                        (1, 1, in_ch * 3, out_ch),
+                        jnp.float32,
+                    )
+                    self.param(
+                        "conv1_1_dead_bias", nn.initializers.zeros_init(), (out_ch,), jnp.float32
+                    )
+                x = packed_max_pool(xp)
+                res = x
+                continue
             for j in range(2):
                 x = ConvLReLUNorm(
                     out_ch,
@@ -247,6 +384,7 @@ class Decoder(nn.Module):
     batch_norm: bool = True
     drop: bool = False
     heinit: bool = False
+    packed_level0: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -254,6 +392,29 @@ class Decoder(nn.Module):
         skips = list(skips)
         for i in reversed(range(self.n_block)):
             out_ch = self.filters * 2**i
+            if i == 0 and self.packed_level0:
+                # fused nearest-up+conv emits the PACKED high-res tensor
+                # directly (the 2x-upsampled intermediate never exists);
+                # skips[0] arrives packed from the encoder, and c-major
+                # packing makes the [skip, up] concat commute with it.
+                xp = _PConv(
+                    out_ch,
+                    kind="upconv",
+                    heinit=self.heinit,
+                    compute_dtype=self.compute_dtype,
+                    name="decoder1_1",
+                )(x)
+                xp = jnp.concatenate([skips.pop(), xp], axis=-1)
+                for j in range(2):
+                    xp = PackedConvLReLUNorm(
+                        out_ch,
+                        batch_norm=self.batch_norm,
+                        dropout=self.drop and j == 0,
+                        heinit=self.heinit,
+                        compute_dtype=self.compute_dtype,
+                        name=f"decoder2_1_conv{j + 1}",
+                    )(xp, train)
+                return xp  # PACKED — the caller's classifier unpacks
             x = upsample_nearest_2x(x)
             x = nn.Conv(
                 out_ch,
@@ -300,17 +461,23 @@ class SegmentationPointModel(nn.Module):
     # older ``Segmentation_model(feature_dis=True)`` variant
     # (unet.py:139-162, unused by its entry points but part of the API)
     feature_dis: bool = False
+    # run level 0 (the 224^2 C=32 ops) space-to-depth packed — numerically
+    # equivalent, 4x less lane padding on TPU (ops/packed.py, docs/SCALING.md)
+    packed_level0: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.compute_dtype)
+        if self.packed_level0 and (x.shape[1] % 2 or x.shape[2] % 2):
+            raise ValueError(f"packed_level0 needs even H, W (got {x.shape[1:3]})")
         feats, skips = Encoder(
             filters=self.filters,
             in_channels=self.in_channels,
             n_block=self.n_block,
             batch_norm=self.batchnorm,
             heinit=self.heinit,
+            packed_level0=self.packed_level0,
             compute_dtype=self.compute_dtype,
             name="encoder",
         )(x, train)
@@ -350,6 +517,7 @@ class SegmentationPointModel(nn.Module):
             batch_norm=self.batchnorm,
             drop=self.drop,
             heinit=self.heinit,
+            packed_level0=self.packed_level0,
             compute_dtype=self.compute_dtype,
             name="decoder",
         )(bott, skips, train)
@@ -357,12 +525,24 @@ class SegmentationPointModel(nn.Module):
         # inter-class logit gaps sit below bf16 resolution, and quantising
         # them makes argmax degenerate to the first class (a metric/inference
         # artifact measured on real TPUs; the conv is negligible FLOPs)
-        logits = nn.Conv(
-            self.n_class,
-            (1, 1),
-            kernel_init=conv_init(self.heinit),
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="classifier",
-        )(x.astype(jnp.float32))
+        if self.packed_level0:
+            # block-diagonal packed 1x1 over the packed decoder output,
+            # then unpack the (tiny) n_class logit planes
+            logits = _PConv(
+                self.n_class,
+                kind="pointwise",
+                heinit=self.heinit,
+                compute_dtype=jnp.float32,
+                name="classifier",
+            )(x.astype(jnp.float32))
+            logits = depth_to_space(logits)
+        else:
+            logits = nn.Conv(
+                self.n_class,
+                (1, 1),
+                kernel_init=conv_init(self.heinit),
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name="classifier",
+            )(x.astype(jnp.float32))
         return logits, feat_logits, points

@@ -84,6 +84,7 @@ def build_models(cfg: UDAConfig):
         batchnorm=cfg.batchnorm,
         drop=cfg.drop,
         heinit=cfg.heinit,
+        packed_level0=cfg.packed_level0,
         compute_dtype=dtype,
     )
     d1 = (

@@ -47,6 +47,7 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--bar", type=float, default=0.85)
+    p.add_argument("--packed", action="store_true", help="packed level-0 path (ops/packed.py)")
     args = p.parse_args(argv)
 
     import jax
@@ -57,7 +58,7 @@ def main(argv=None):
 
     cfg = mscmrseg_default(
         crop_size=args.size, fc_inch=81 if args.size == 224 else 1, bs=args.bs,
-        lr=args.lr, compute_dtype=args.dtype,
+        lr=args.lr, compute_dtype=args.dtype, packed_level0=args.packed,
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
