@@ -21,6 +21,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--bs", type=int, default=16)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--packed", action="store_true", help="packed level-0 path (ops/packed.py)")
     args = p.parse_args(argv)
 
     import jax
@@ -31,7 +32,10 @@ def main(argv=None):
     from pointcloududa_tpu.train.step import make_train_step
     from pointcloududa_tpu.utils.timer import trace_annotation
 
-    cfg = mscmrseg_default(d1=True, d2=True, d4=True, bs=args.bs, compute_dtype=args.dtype)
+    cfg = mscmrseg_default(
+        d1=True, d2=True, d4=True, bs=args.bs, compute_dtype=args.dtype,
+        packed_level0=args.packed,
+    )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
     batch = jax.device_put(synthetic_batch(cfg, args.bs))
