@@ -53,11 +53,13 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "24"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     chamfer = os.environ.get("BENCH_CHAMFER", "auto")
-    packed = os.environ.get("BENCH_PACKED", "1") != "0"
+    # BENCH_PACKED: 0 = standard, 1 = level-0 packed, 2 = levels 0+1 packed
+    packed = int(os.environ.get("BENCH_PACKED", "1") or "0")
+    bn_impl = os.environ.get("BENCH_BN", "auto")  # auto | pallas | xla
 
     cfg = mscmrseg_default(
         d1=True, d2=True, d4=True, bs=bs, compute_dtype=dtype, chamfer_impl=chamfer,
-        packed_level0=packed,
+        packed_level0=packed >= 1, packed_level1=packed >= 2, bn_stats_impl=bn_impl,
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))

@@ -100,6 +100,16 @@ class UDAConfig:
     # numerically equivalent, removes the 4x lane padding the r2 profile
     # identified as the step bottleneck (docs/SCALING.md)
     packed_level0: bool = False
+    # also pack the profitable level-1 ops (encoder block 2 + the level-1
+    # fused up-conv); requires crop_size % 4 == 0
+    packed_level1: bool = False
+    # BN batch-statistics implementation. "xla" (default): flax's fused
+    # convert+reduce — measured FASTER in-step (338 vs 327 slices/s/chip,
+    # r2) because XLA fuses the stats pass with the activation write.
+    # "pallas": the ops/bn_pallas.py single-pass kernel — 2.1x faster
+    # standalone (0.116 vs 0.245 ms on bf16[16,112,112,128]) but it splits
+    # that fusion inside the train step; TPU-only (interpret mode in tests).
+    bn_stats_impl: str = "xla"
     # NaN guard: the TPU-native stand-in for the reference's always-on
     # torch.autograd.set_detect_anomaly (train_mscmrseg.py:703) — opt-in
     # here because it forces sync checks (SURVEY.md §5)

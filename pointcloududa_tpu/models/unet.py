@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pointcloududa_tpu.models.init import conv_init, torch_linear_init
+from pointcloududa_tpu.ops.bn_pallas import batch_stats_nhwc, batch_stats_packed
 from pointcloududa_tpu.ops.packed import (
     depth_to_space,
     pack_bias,
@@ -68,6 +69,7 @@ class ConvLReLUNorm(nn.Module):
     batch_norm: bool = True
     dropout: bool = False
     heinit: bool = False
+    bn_pallas: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,15 +86,22 @@ class ConvLReLUNorm(nn.Module):
         if self.dropout:
             x = nn.Dropout(0.5, deterministic=not train)(x)
         if self.batch_norm:
-            # f32 normalisation end-to-end (flax already computes the batch
-            # statistics in f32; this also applies scale/bias in f32)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                param_dtype=jnp.float32,
-            )(x).astype(self.compute_dtype)
+            if self.bn_pallas:
+                # flax-identical semantics, Pallas single-pass statistics
+                # (ops/bn_pallas.py; ~2x the XLA reduce's bandwidth)
+                x = _FastBatchNorm(name="BatchNorm_0")(
+                    x, use_running_average=not train
+                ).astype(self.compute_dtype)
+            else:
+                # f32 normalisation end-to-end (flax already computes the
+                # batch statistics in f32; scale/bias applied in f32 too)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=jnp.float32,
+                    param_dtype=jnp.float32,
+                )(x).astype(self.compute_dtype)
         return x
 
 
@@ -141,6 +150,7 @@ class _PBatchNorm(nn.Module):
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    bn_pallas: bool = False
 
     @nn.compact
     def __call__(self, xp, use_running_average: bool):
@@ -152,13 +162,44 @@ class _PBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean, var = packed_bn_stats(xp)
+            if self.bn_pallas:
+                mean, var = batch_stats_packed(xp)
+            else:
+                mean, var = packed_bn_stats(xp)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         mul = jax.lax.rsqrt(var + self.epsilon) * scale
         shift = bias - mean * mul
         return xp.astype(jnp.float32) * pack_bias(mul) + pack_bias(shift)
+
+
+class _FastBatchNorm(nn.Module):
+    """Unpacked twin of ``nn.BatchNorm(dtype=f32, use_fast_variance=True)``
+    that computes batch statistics with the Pallas single-pass kernel
+    (ops/bn_pallas.py). Param/variable names and semantics match flax, so
+    the state tree is identical to the standard path."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = batch_stats_nhwc(x)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * mul
+        return x.astype(jnp.float32) * mul + shift
 
 
 class PackedConvLReLUNorm(nn.Module):
@@ -171,6 +212,7 @@ class PackedConvLReLUNorm(nn.Module):
     batch_norm: bool = True
     dropout: bool = False
     heinit: bool = False
+    bn_pallas: bool = False
     compute_dtype: Any = jnp.float32
     kind: str = "conv"
 
@@ -187,7 +229,9 @@ class PackedConvLReLUNorm(nn.Module):
         if self.dropout:
             xp = nn.Dropout(0.5, deterministic=not train, name="Dropout_0")(xp)
         if self.batch_norm:
-            xp = _PBatchNorm(name="BatchNorm_0")(xp, use_running_average=not train)
+            xp = _PBatchNorm(bn_pallas=self.bn_pallas, name="BatchNorm_0")(
+                xp, use_running_average=not train
+            )
             xp = xp.astype(self.compute_dtype)
         return xp
 
@@ -207,6 +251,11 @@ class Encoder(nn.Module):
     heinit: bool = False
     dead_conv_parity: bool = True
     packed_level0: bool = False
+    # pack block 2 as well (ops/packed.py): profitable because its 32->64
+    # conv halves MXU padding waste and its BN/elementwise ops halve HBM
+    # traffic; independent of packed_level0
+    packed_level1: bool = False
+    bn_pallas: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -216,6 +265,35 @@ class Encoder(nn.Module):
         for i in range(self.n_block):
             out_ch = self.filters * 2**i
             in_ch = self.in_channels if i == 0 else self.filters * 2 ** (i - 1)
+            if i == 1 and self.packed_level1:
+                # block 2 space-to-depth packed at the 56^2 grid. ``res`` (the
+                # remix operand) IS this block's input, so its packed form is
+                # the same s2d tensor; the 1x1 remix is a sub-position
+                # block-diagonal pointwise conv. The skip is stored PACKED.
+                xp = space_to_depth(x)
+                res_p = xp
+                for j in range(2):
+                    xp = PackedConvLReLUNorm(
+                        out_ch,
+                        batch_norm=self.batch_norm,
+                        heinit=self.heinit,
+                        bn_pallas=self.bn_pallas,
+                        compute_dtype=self.compute_dtype,
+                        name=f"encoder2_conv{j + 1}",
+                    )(xp, train)
+                skips.append(xp)
+                xp = jnp.concatenate([xp, res_p], axis=-1)
+                xp = _PConv(
+                    out_ch,
+                    kind="pointwise",
+                    heinit=self.heinit,
+                    compute_dtype=self.compute_dtype,
+                    name="conv1_2",
+                )(xp)
+                xp = _leaky(xp)
+                x = packed_max_pool(xp)
+                res = x
+                continue
             if i == 0 and self.packed_level0:
                 # level-0 runs space-to-depth packed (ops/packed.py): the
                 # skip is stored PACKED (the decoder's matching branch
@@ -227,6 +305,7 @@ class Encoder(nn.Module):
                         out_ch,
                         batch_norm=self.batch_norm,
                         heinit=self.heinit,
+                        bn_pallas=self.bn_pallas,
                         compute_dtype=self.compute_dtype,
                         name=f"encoder1_conv{j + 1}",
                     )(xp, train)
@@ -249,6 +328,7 @@ class Encoder(nn.Module):
                     out_ch,
                     batch_norm=self.batch_norm,
                     heinit=self.heinit,
+                    bn_pallas=self.bn_pallas,
                     compute_dtype=self.compute_dtype,
                     name=f"encoder{i + 1}_conv{j + 1}",
                 )(x, train)
@@ -385,6 +465,12 @@ class Decoder(nn.Module):
     drop: bool = False
     heinit: bool = False
     packed_level0: bool = False
+    # pack the level-1 up-conv (fused nearest-up+conv, ops/packed.py) and
+    # consume the packed skip; the 128->64 double conv stays standard — it
+    # is MXU-bound at 4x-logical FLOPs whether packed or padded, so packing
+    # it would only add MXU work (profiles/README.md r2_trace_packed)
+    packed_level1: bool = False
+    bn_pallas: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -392,6 +478,29 @@ class Decoder(nn.Module):
         skips = list(skips)
         for i in reversed(range(self.n_block)):
             out_ch = self.filters * 2**i
+            if i == 1 and self.packed_level1:
+                xp = _PConv(
+                    out_ch,
+                    kind="upconv",
+                    heinit=self.heinit,
+                    compute_dtype=self.compute_dtype,
+                    name="decoder1_2",
+                )(x)
+                xp = jnp.concatenate([skips.pop(), xp], axis=-1)
+                # unpack for the (deliberately standard) double conv;
+                # c-major packing commutes with the [skip, up] concat
+                x = depth_to_space(xp)
+                for j in range(2):
+                    x = ConvLReLUNorm(
+                        out_ch,
+                        batch_norm=self.batch_norm,
+                        dropout=self.drop and j == 0,
+                        heinit=self.heinit,
+                        bn_pallas=self.bn_pallas,
+                        compute_dtype=self.compute_dtype,
+                        name=f"decoder2_2_conv{j + 1}",
+                    )(x, train)
+                continue
             if i == 0 and self.packed_level0:
                 # fused nearest-up+conv emits the PACKED high-res tensor
                 # directly (the 2x-upsampled intermediate never exists);
@@ -411,6 +520,7 @@ class Decoder(nn.Module):
                         batch_norm=self.batch_norm,
                         dropout=self.drop and j == 0,
                         heinit=self.heinit,
+                        bn_pallas=self.bn_pallas,
                         compute_dtype=self.compute_dtype,
                         name=f"decoder2_1_conv{j + 1}",
                     )(xp, train)
@@ -432,6 +542,7 @@ class Decoder(nn.Module):
                     batch_norm=self.batch_norm,
                     dropout=self.drop and j == 0,
                     heinit=self.heinit,
+                    bn_pallas=self.bn_pallas,
                     compute_dtype=self.compute_dtype,
                     name=f"decoder2_{i + 1}_conv{j + 1}",
                 )(x, train)
@@ -464,6 +575,12 @@ class SegmentationPointModel(nn.Module):
     # run level 0 (the 224^2 C=32 ops) space-to-depth packed — numerically
     # equivalent, 4x less lane padding on TPU (ops/packed.py, docs/SCALING.md)
     packed_level0: bool = False
+    # also pack the profitable level-1 ops (encoder block 2, the level-1
+    # fused up-conv); see Encoder/Decoder docstrings for the op selection
+    packed_level1: bool = False
+    # compute BN batch statistics with the Pallas single-pass kernel
+    # (ops/bn_pallas.py) instead of XLA's reduce — identical semantics
+    bn_pallas: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -471,6 +588,9 @@ class SegmentationPointModel(nn.Module):
         x = x.astype(self.compute_dtype)
         if self.packed_level0 and (x.shape[1] % 2 or x.shape[2] % 2):
             raise ValueError(f"packed_level0 needs even H, W (got {x.shape[1:3]})")
+        packed_l1 = self.packed_level1 and self.n_block >= 2
+        if packed_l1 and (x.shape[1] % 4 or x.shape[2] % 4):
+            raise ValueError(f"packed_level1 needs H, W divisible by 4 (got {x.shape[1:3]})")
         feats, skips = Encoder(
             filters=self.filters,
             in_channels=self.in_channels,
@@ -478,6 +598,8 @@ class SegmentationPointModel(nn.Module):
             batch_norm=self.batchnorm,
             heinit=self.heinit,
             packed_level0=self.packed_level0,
+            packed_level1=packed_l1,
+            bn_pallas=self.bn_pallas,
             compute_dtype=self.compute_dtype,
             name="encoder",
         )(x, train)
@@ -518,6 +640,8 @@ class SegmentationPointModel(nn.Module):
             drop=self.drop,
             heinit=self.heinit,
             packed_level0=self.packed_level0,
+            packed_level1=packed_l1,
+            bn_pallas=self.bn_pallas,
             compute_dtype=self.compute_dtype,
             name="decoder",
         )(bott, skips, train)

@@ -72,6 +72,8 @@ def sgd_reference(lr: float, momentum: float, weight_decay: float = 5e-4) -> opt
 def build_models(cfg: UDAConfig):
     """Instantiate the generator and the enabled discriminators."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # "auto" kept as an alias of the measured in-step winner (see config.py)
+    bn_pallas = cfg.bn_stats_impl == "pallas"
     gen = SegmentationPointModel(
         filters=cfg.filters,
         in_channels=cfg.in_channels,
@@ -85,6 +87,8 @@ def build_models(cfg: UDAConfig):
         drop=cfg.drop,
         heinit=cfg.heinit,
         packed_level0=cfg.packed_level0,
+        packed_level1=cfg.packed_level1,
+        bn_pallas=bn_pallas,
         compute_dtype=dtype,
     )
     d1 = (

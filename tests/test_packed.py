@@ -91,12 +91,18 @@ def test_packed_bn_stats_match_flax(rnd):
 _KW = dict(
     filters=8, n_block=2, n_class=4, pointnet=False, batchnorm=True, compute_dtype=jnp.float32
 )
+# every packed combination must be indistinguishable from the standard path
+_PACKED_FLAGS = [
+    dict(packed_level0=True),
+    dict(packed_level1=True),
+    dict(packed_level0=True, packed_level1=True),
+]
 
 
-@pytest.fixture(scope="module")
-def models_and_vars(rnd):
+@pytest.fixture(scope="module", params=range(len(_PACKED_FLAGS)), ids=["l0", "l1", "l0l1"])
+def models_and_vars(rnd, request):
     m_std = SegmentationPointModel(**_KW)
-    m_pkd = SegmentationPointModel(packed_level0=True, **_KW)
+    m_pkd = SegmentationPointModel(**_PACKED_FLAGS[request.param], **_KW)
     x = jnp.asarray(rnd.randn(2, 24, 24, 3).astype(np.float32))
     v = m_std.init(jax.random.PRNGKey(0), x, train=True)
     return m_std, m_pkd, v, x
@@ -158,13 +164,13 @@ def test_gradients_equivalent(models_and_vars):
 
 
 def test_pointnet_head_unaffected(rnd):
-    """The point head taps the bottleneck — packed level 0 must not move it."""
+    """The point head taps the bottleneck — packed levels must not move it."""
     kw = dict(
         filters=8, n_block=4, n_class=4, pointnet=True, fc_inch=1, batchnorm=True,
         compute_dtype=jnp.float32,
     )
     m_std = SegmentationPointModel(**kw)
-    m_pkd = SegmentationPointModel(packed_level0=True, **kw)
+    m_pkd = SegmentationPointModel(packed_level0=True, packed_level1=True, **kw)
     x = jnp.asarray(rnd.randn(1, 96, 96, 3).astype(np.float32))
     v = m_std.init(jax.random.PRNGKey(1), x, train=True)
     (_, _, pt_s), _ = m_std.apply(v, x, train=True, mutable=["batch_stats"])
