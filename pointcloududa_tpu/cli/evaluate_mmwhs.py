@@ -25,6 +25,12 @@ def main(argv=None):
     p.add_argument("-ifasd", type=int, default=1)
     p.add_argument("-nf", type=int, default=32)
     p.add_argument("-dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument(
+        "-no_packed",
+        help="disable the s2d-packed level-0 layout (checkpoints are "
+        "layout-independent; packed is faster on TPU)",
+        action="store_true",
+    )
     p.add_argument("-save", help="append per-patient rows to a csv", action="store_true")
     p.add_argument("-model_name", type=str, default="")
     p.add_argument("-csv", type=str, default="evaluation_of_models_tf.csv")
@@ -43,7 +49,8 @@ def main(argv=None):
         tags = [t for t in ("d1lr", "d2lr", "d4lr", "softmax", "etpls", "Tetpls") if t in name]
         print("model:", ".".join(tags) if tags else "(plain unet)")
     cfg = mmwhs_default(
-        filters=args.nf, d4=d4, extpn=extpn, compute_dtype=args.dtype, data_dir=args.data_dir
+        filters=args.nf, d4=d4, extpn=extpn, compute_dtype=args.dtype, data_dir=args.data_dir,
+        packed_level0=not args.no_packed,
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     gen, *_ = build_models(cfg)

@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("-toplot", help="save input/pred/GT triptychs to this dir", type=str, default="")
     p.add_argument("-nf", type=int, default=32)
     p.add_argument("-dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument(
+        "-no_packed",
+        help="disable the s2d-packed level-0 layout (checkpoints are "
+        "layout-independent; packed is faster on TPU)",
+        action="store_true",
+    )
     args = p.parse_args(argv)
 
     from pointcloududa_tpu.config import mscmrseg_default
@@ -39,7 +45,10 @@ def main(argv=None):
     from pointcloududa_tpu.train.state import build_models, create_train_state
 
     d4 = args.d4 or (args.from_name and ("d4lr" in args.model_dir or "d4aux" in args.model_dir))
-    cfg = mscmrseg_default(filters=args.nf, d4=d4, compute_dtype=args.dtype, data_dir=args.data_dir)
+    cfg = mscmrseg_default(
+        filters=args.nf, d4=d4, compute_dtype=args.dtype, data_dir=args.data_dir,
+        packed_level0=not args.no_packed,
+    )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     gen, *_ = build_models(cfg)
     net = restore_net_state(args.model_dir, state.gen)

@@ -182,3 +182,25 @@ def test_odd_input_rejected():
     m = SegmentationPointModel(packed_level0=True, **_KW)
     with pytest.raises(ValueError, match="even"):
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 23, 24, 3)), train=True)
+
+
+def test_checkpoint_interop_across_layouts(tmp_path, rnd):
+    """A checkpoint written by the standard layout restores into the packed
+    model (and vice versa) and predicts identically — parameters live in the
+    unpacked shapes regardless of execution layout."""
+    from pointcloududa_tpu.train import checkpoint as ckpt_lib
+
+    m_std = SegmentationPointModel(**_KW)
+    m_pkd = SegmentationPointModel(packed_level0=True, packed_level1=True, **_KW)
+    x = jnp.asarray(rnd.randn(2, 24, 24, 3).astype(np.float32))
+    v = m_std.init(jax.random.PRNGKey(2), x, train=True)
+
+    path = str(tmp_path / "ckpt")
+    ckpt_lib.save_pytree(path, {"params": v["params"], "batch_stats": v["batch_stats"]})
+    v_template = m_pkd.init(jax.random.PRNGKey(3), x, train=True)  # different init
+    restored = ckpt_lib.restore_pytree(path, {"params": v_template["params"],
+                                              "batch_stats": v_template["batch_stats"]})
+
+    lg_std, _, _ = m_std.apply(v, x, train=False)
+    lg_pkd, _, _ = m_pkd.apply(restored, x, train=False)
+    np.testing.assert_allclose(lg_pkd, lg_std, atol=1e-4)

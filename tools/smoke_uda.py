@@ -44,6 +44,7 @@ def main(argv=None):
     p.add_argument("--pool", type=int, default=12, help="pre-generated batches to cycle")
     p.add_argument("--d4", action="store_true")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--packed", action="store_true", help="packed level-0 path (ops/packed.py)")
     args = p.parse_args(argv)
 
     import jax
@@ -62,6 +63,7 @@ def main(argv=None):
         d2=True,
         d4=args.d4,
         compute_dtype=args.dtype,
+        packed_level0=args.packed,
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     models = build_models(cfg)
