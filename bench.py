@@ -44,7 +44,7 @@ REF_GPU_SLICES_PER_SEC_ESTIMATE = 25.0
 def main():
     import jax
 
-    from pointcloududa_tpu.config import mscmrseg_default
+    from pointcloududa_tpu.config import mmwhs_default, mscmrseg_default
     from pointcloududa_tpu.data.synthetic import synthetic_batch
     from pointcloududa_tpu.train.state import build_models, build_optimizers, create_train_state
     from pointcloududa_tpu.train.step import make_train_step
@@ -56,11 +56,20 @@ def main():
     # BENCH_PACKED: 0 = standard, 1 = level-0 packed, 2 = levels 0+1 packed
     packed = int(os.environ.get("BENCH_PACKED", "1") or "0")
     bn_impl = os.environ.get("BENCH_BN", "auto")  # auto | pallas | xla
+    # BENCH_WORKLOAD=mmwhs benches BASELINE config 5 (train_mmwhs.py full
+    # pipeline: 256^2 5-class softmax-CE, D2+D4, entropy/log C)
+    workload = os.environ.get("BENCH_WORKLOAD", "mscmrseg")
 
-    cfg = mscmrseg_default(
-        d1=True, d2=True, d4=True, bs=bs, compute_dtype=dtype, chamfer_impl=chamfer,
+    kw = dict(
+        bs=bs, compute_dtype=dtype, chamfer_impl=chamfer,
         packed_level0=packed >= 1, packed_level1=packed >= 2, bn_stats_impl=bn_impl,
     )
+    if workload == "mmwhs":
+        cfg = mmwhs_default(softmax=True, d2=True, d4=True, **kw)
+        shape_tag = f"seg+D2+D4, bs{bs}, 256^2"
+    else:
+        cfg = mscmrseg_default(d1=True, d2=True, d4=True, **kw)
+        shape_tag = f"seg+D1+D2+D4, bs{bs}, 224^2"
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
 
@@ -93,7 +102,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"UDA train slices/sec/chip (seg+D1+D2+D4, bs{bs}, 224^2, {dtype})",
+                "metric": f"UDA train slices/sec/chip ({shape_tag}, {dtype})",
                 "value": round(slices_per_sec / n_chips, 2),
                 "unit": "slices/sec/chip",
                 "vs_baseline": round(slices_per_sec / n_chips / REF_GPU_SLICES_PER_SEC_ESTIMATE, 3),
