@@ -176,3 +176,13 @@ def test_make_pointclouds_tool(tmp_path):
     plot = np.load(plots / "slice0.npy")
     assert plot.shape == (256, 256)
     assert plot.sum() > 0
+
+
+def test_bench_infer_tool_runs_tiny():
+    """tools/bench_infer.py wiring: tiny model on CPU, both layouts."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import bench_infer
+
+    for flag in ("--packed", "--no-packed"):
+        bench_infer.main(["--bs", "2", "--size", "96", "--filters", "4",
+                          "--dtype", "float32", "--steps", "4", flag])

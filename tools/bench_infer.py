@@ -30,6 +30,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--bs", type=int, default=32)
     p.add_argument("--size", type=int, default=224)
+    p.add_argument("--filters", type=int, default=32)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--steps", type=int, default=32)
     p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=True)
@@ -42,7 +43,7 @@ def main(argv=None):
     from pointcloududa_tpu.models import SegmentationPointModel
 
     model = SegmentationPointModel(
-        filters=32, n_block=4, n_class=4, pointnet=True,
+        filters=args.filters, n_block=4, n_class=4, pointnet=True,
         fc_inch=81 if args.size == 224 else 1,
         packed_level0=args.packed,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
