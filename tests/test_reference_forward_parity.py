@@ -248,3 +248,62 @@ def test_pointnet_discriminator_matches_reference():
     logit, trans, _ = model.apply(variables, jnp.asarray(pts), train=False)
     np.testing.assert_allclose(np.asarray(trans), ref_trans.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(logit), ref_logit.numpy(), atol=1e-4)
+
+
+@pytest.mark.parametrize("packed", [False, True], ids=["standard", "packed"])
+def test_generator_train_mode_matches_reference(torch_nets, packed):
+    """Train-mode BN: batch-statistics normalisation AND the running-stat
+    momentum update must match torch (torch momentum 0.1 == flax 0.9)."""
+    torch, tgen, _ = torch_nets
+    from flax.traverse_util import flatten_dict
+    from pointcloududa_tpu.models.unet import SegmentationPointModel
+
+    model = SegmentationPointModel(
+        filters=32, n_block=4, n_class=4, pointnet=True, fc_inch=1,
+        packed_level0=packed, packed_level1=packed, compute_dtype=jnp.float32,
+    )
+    x = np.random.RandomState(5).rand(2, 96, 96, 3).astype(np.float32)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    variables = _gen_variables(tgen.state_dict(), template)
+
+    import copy
+    tgen_train = copy.deepcopy(tgen)
+    tgen_train.train()
+    t_logits, _, _ = tgen_train(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    (logits, _, _), mutated = model.apply(
+        variables, jnp.asarray(x), train=True, mutable=["batch_stats"]
+    )
+    ref = np.transpose(t_logits.detach().numpy(), (0, 2, 3, 1))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(logits) / scale, ref / scale, atol=5e-5)
+
+    # running-stat update parity: compare every BN buffer after one pass
+    sd_after = tgen_train.state_dict()
+    flat = flatten_dict(mutated["batch_stats"])
+    checked = 0
+    for path, v in flat.items():
+        dst = path[:-1]  # (..., "BatchNorm_0", "mean"/"var")
+        # invert the _gen_variables mapping to find the torch BN prefix
+        if dst[0] == "encoder":
+            k = int(dst[1][len("encoder")])
+            bi = 2 if dst[1].endswith("conv1") else 5
+            src = f"encoder.encoder{k}.{bi}"
+        elif dst[0] == "decoder":
+            k = int(dst[1][len("decoder2_")])
+            bi = 2 if dst[1].endswith("conv1") else 5
+            src = f"decoder.decoder2_{k}.{bi}"
+        else:
+            raise AssertionError(dst)
+        key = "running_mean" if path[-1] == "mean" else "running_var"
+        # running_var tolerance is looser for two quantified reasons:
+        # torch feeds the UNBIASED variance into the running update
+        # (factor n/(n-1), ~5e-5 relative at n=2*96*96) and flax's
+        # fast-variance E[x^2]-E[x]^2 carries f32 cancellation noise
+        # (~1e-4 relative). A wrong momentum or stats axis would be O(0.1).
+        atol = 1e-4 if key == "running_mean" else 1e-3
+        np.testing.assert_allclose(
+            np.asarray(v), sd_after[f"{src}.{key}"].numpy(), atol=atol,
+            err_msg=str(path),
+        )
+        checked += 1
+    assert checked == 32  # 16 BNs x (mean, var)
