@@ -35,7 +35,6 @@ from pointcloududa_tpu.ops.packed import (
     pack_conv_kernel,
     pack_pointwise_kernel,
     pack_upconv_kernel,
-    packed_bn_stats,
     packed_conv,
     packed_max_pool,
     space_to_depth,
@@ -89,7 +88,7 @@ class ConvLReLUNorm(nn.Module):
             if self.bn_pallas:
                 # flax-identical semantics, Pallas single-pass statistics
                 # (ops/bn_pallas.py; ~2x the XLA reduce's bandwidth)
-                x = _FastBatchNorm(name="BatchNorm_0")(
+                x = _TwinBatchNorm(bn_pallas=True, name="BatchNorm_0")(
                     x, use_running_average=not train
                 ).astype(self.compute_dtype)
             else:
@@ -142,50 +141,24 @@ class _PConv(nn.Module):
         )
 
 
-class _PBatchNorm(nn.Module):
-    """Packed twin of ``nn.BatchNorm(dtype=f32)``: per-ORIGINAL-channel
-    statistics over (batch, space, sub-position lanes), flax semantics
+class _TwinBatchNorm(nn.Module):
+    """Twin of ``nn.BatchNorm(dtype=f32, use_fast_variance=True)`` for the
+    non-flax execution paths: ``packed`` computes per-ORIGINAL-channel
+    statistics over (batch, space, sub-position lanes) of a c-major packed
+    tensor; ``bn_pallas`` selects the Pallas single-pass stats kernel
+    (ops/bn_pallas.py) over the jnp reduction. flax semantics throughout
     (f32 fast variance with clipping, momentum running update, frozen at
-    init). Params/stats have the unpacked (C,) shape and flax's names."""
+    init); param/variable names and (C,) shapes match flax, so the state
+    tree is identical to the standard path."""
 
-    momentum: float = 0.9
-    epsilon: float = 1e-5
+    packed: bool = False
     bn_pallas: bool = False
-
-    @nn.compact
-    def __call__(self, xp, use_running_average: bool):
-        c = xp.shape[-1] // 4
-        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
-        ra_mean = self.variable("batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
-        ra_var = self.variable("batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,))
-        if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            if self.bn_pallas:
-                mean, var = batch_stats_packed(xp)
-            else:
-                mean, var = packed_bn_stats(xp)
-            if not self.is_initializing():
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        mul = jax.lax.rsqrt(var + self.epsilon) * scale
-        shift = bias - mean * mul
-        return xp.astype(jnp.float32) * pack_bias(mul) + pack_bias(shift)
-
-
-class _FastBatchNorm(nn.Module):
-    """Unpacked twin of ``nn.BatchNorm(dtype=f32, use_fast_variance=True)``
-    that computes batch statistics with the Pallas single-pass kernel
-    (ops/bn_pallas.py). Param/variable names and semantics match flax, so
-    the state tree is identical to the standard path."""
-
     momentum: float = 0.9
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
-        c = x.shape[-1]
+        c = x.shape[-1] // 4 if self.packed else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
@@ -193,12 +166,15 @@ class _FastBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean, var = batch_stats_nhwc(x)
+            stats = batch_stats_packed if self.packed else batch_stats_nhwc
+            mean, var = stats(x, use_kernel=self.bn_pallas)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         mul = jax.lax.rsqrt(var + self.epsilon) * scale
         shift = bias - mean * mul
+        if self.packed:
+            mul, shift = pack_bias(mul), pack_bias(shift)
         return x.astype(jnp.float32) * mul + shift
 
 
@@ -229,7 +205,7 @@ class PackedConvLReLUNorm(nn.Module):
         if self.dropout:
             xp = nn.Dropout(0.5, deterministic=not train, name="Dropout_0")(xp)
         if self.batch_norm:
-            xp = _PBatchNorm(bn_pallas=self.bn_pallas, name="BatchNorm_0")(
+            xp = _TwinBatchNorm(packed=True, bn_pallas=self.bn_pallas, name="BatchNorm_0")(
                 xp, use_running_average=not train
             )
             xp = xp.astype(self.compute_dtype)
@@ -265,6 +241,20 @@ class Encoder(nn.Module):
         for i in range(self.n_block):
             out_ch = self.filters * 2**i
             in_ch = self.in_channels if i == 0 else self.filters * 2 ** (i - 1)
+            if i == 0 and self.dead_conv_parity:
+                # reference constructs conv1_1 (in_ch*3 -> filters) but its
+                # forward never calls it (unet.py:32-33, :44-48). Allocate the
+                # same parameters (unused; DCE'd by XLA) for count parity —
+                # layout-independent, hence declared before the branch.
+                self.param(
+                    "conv1_1_dead_kernel",
+                    conv_init(self.heinit),
+                    (1, 1, in_ch * 3, out_ch),
+                    jnp.float32,
+                )
+                self.param(
+                    "conv1_1_dead_bias", nn.initializers.zeros_init(), (out_ch,), jnp.float32
+                )
             if i == 1 and self.packed_level1:
                 # block 2 space-to-depth packed at the 56^2 grid. ``res`` (the
                 # remix operand) IS this block's input, so its packed form is
@@ -310,16 +300,6 @@ class Encoder(nn.Module):
                         name=f"encoder1_conv{j + 1}",
                     )(xp, train)
                 skips.append(xp)
-                if self.dead_conv_parity:
-                    self.param(
-                        "conv1_1_dead_kernel",
-                        conv_init(self.heinit),
-                        (1, 1, in_ch * 3, out_ch),
-                        jnp.float32,
-                    )
-                    self.param(
-                        "conv1_1_dead_bias", nn.initializers.zeros_init(), (out_ch,), jnp.float32
-                    )
                 x = packed_max_pool(xp)
                 res = x
                 continue
@@ -344,17 +324,6 @@ class Encoder(nn.Module):
                     name=f"conv1_{i + 1}",
                 )(x)
                 x = _leaky(x)
-            elif self.dead_conv_parity:
-                # reference constructs conv1_1 (in_ch*3 -> filters) but its
-                # forward never calls it (unet.py:32-33, :44-48). Allocate the
-                # same parameters (unused; DCE'd by XLA) for count parity.
-                self.param(
-                    "conv1_1_dead_kernel",
-                    conv_init(self.heinit),
-                    (1, 1, in_ch * 3, out_ch),
-                    jnp.float32,
-                )
-                self.param("conv1_1_dead_bias", nn.initializers.zeros_init(), (out_ch,), jnp.float32)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
             res = x
         return x, skips

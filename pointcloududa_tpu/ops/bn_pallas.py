@@ -64,10 +64,21 @@ def _stats_jnp(x2d):
     return jnp.mean(xf, 0), jnp.mean(xf * xf, 0)
 
 
+def _tpu_kernel_viable() -> bool:
+    """Pallas TPU kernels compile on accelerator backends, or on CPU only
+    under ``pltpu.force_tpu_interpret_mode`` (the test harness)."""
+    if jax.default_backend() != "cpu":
+        return True
+    from jax._src import config as jax_config
+
+    ctx = getattr(jax_config, "pallas_tpu_interpret_mode_context_manager", None)
+    return ctx is not None and ctx.value is not None
+
+
 def _stats_fwd_impl(x2d):
     n, c = x2d.shape
     rows = _pick_rows(n)
-    if rows == 0 or c % 128 != 0:
+    if rows == 0 or c % 128 != 0 or not _tpu_kernel_viable():
         return _stats_jnp(x2d)
     s, q = pl.pallas_call(
         _stats_kernel,
@@ -106,19 +117,23 @@ def _bn_stats_bwd(x2d, g):
 bn_stats.defvjp(_bn_stats_fwd, _bn_stats_bwd)
 
 
-def batch_stats_nhwc(x: jnp.ndarray):
+def batch_stats_nhwc(x: jnp.ndarray, use_kernel: bool = True):
     """flax-equivalent (mean, var) over all axes but the last. Fast-variance
-    (single fused pass), f32, var clipped at 0."""
+    (single fused pass), f32, var clipped at 0. ``use_kernel=False`` forces
+    the jnp reduction (XLA fuses it with the producer — the measured in-step
+    default; see config.bn_stats_impl)."""
     c = x.shape[-1]
-    mean, meansq = bn_stats(x.reshape(-1, c))
+    stats = bn_stats if use_kernel else _stats_jnp
+    mean, meansq = stats(x.reshape(-1, c))
     return mean, jnp.maximum(meansq - jnp.square(mean), 0.0)
 
 
-def batch_stats_packed(xp: jnp.ndarray):
+def batch_stats_packed(xp: jnp.ndarray, use_kernel: bool = True):
     """(mean, var) per ORIGINAL channel of a c-major space-to-depth packed
     tensor (..., 4C): stats over rows AND the 4 sub-position lanes."""
     c4 = xp.shape[-1]
-    mean_p, meansq_p = bn_stats(xp.reshape(-1, c4))
+    stats = bn_stats if use_kernel else _stats_jnp
+    mean_p, meansq_p = stats(xp.reshape(-1, c4))
     mean = mean_p.reshape(c4 // 4, 4).mean(-1)
     meansq = meansq_p.reshape(c4 // 4, 4).mean(-1)
     return mean, jnp.maximum(meansq - jnp.square(mean), 0.0)

@@ -70,6 +70,8 @@ def main(argv=None):
         float(o[0][0, 0, 0, 0])
         return time.perf_counter() - t0
 
+    if args.steps < 4:
+        p.error("--steps must be >= 4 (two-point timing needs steps > steps//4)")
     n_small = max(2, args.steps // 4)
     t_small = min(chain(n_small) for _ in range(2))
     t_big = min(chain(args.steps) for _ in range(2))

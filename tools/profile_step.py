@@ -21,7 +21,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--bs", type=int, default=16)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--packed", action="store_true", help="packed level-0 path (ops/packed.py)")
+    p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=True,
+                   help="s2d-packed level-0 path (the production default; ops/packed.py)")
     args = p.parse_args(argv)
 
     import jax

@@ -47,7 +47,8 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--bar", type=float, default=0.85)
-    p.add_argument("--packed", action="store_true", help="packed level-0 path (ops/packed.py)")
+    p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=True,
+                   help="s2d-packed level-0 path (the production default; ops/packed.py)")
     args = p.parse_args(argv)
 
     import jax

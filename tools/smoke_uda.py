@@ -44,7 +44,8 @@ def main(argv=None):
     p.add_argument("--pool", type=int, default=12, help="pre-generated batches to cycle")
     p.add_argument("--d4", action="store_true")
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--packed", action="store_true", help="packed level-0 path (ops/packed.py)")
+    p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=True,
+                   help="s2d-packed level-0 path (the production default; ops/packed.py)")
     args = p.parse_args(argv)
 
     import jax
