@@ -62,7 +62,7 @@ def _vec(w):
     return jnp.asarray(w.detach().numpy())
 
 
-def _gen_variables(sd, template):
+def _gen_variables(sd, template, extpn=False):
     """Map the reference generator's state_dict onto the flax tree."""
     from flax.traverse_util import flatten_dict, unflatten_dict
 
@@ -93,6 +93,10 @@ def _gen_variables(sd, template):
         params[("bottleneck", f"bottleneck{i}", "bias")] = _vec(
             sd[f"bottleneck.bottleneck{i}.0.bias"]
         )
+    if extpn:
+        for name in ("conv1", "conv2"):
+            params[("pointNet", name, "kernel")] = _conv(sd[f"pointNet.{name}.weight"])
+            params[("pointNet", name, "bias")] = _vec(sd[f"pointNet.{name}.bias"])
     params[("pointNet", "final_conv", "kernel")] = _conv(sd["pointNet.final_conv.weight"])
     params[("pointNet", "final_conv", "bias")] = _vec(sd["pointNet.final_conv.bias"])
     params[("pointNet", "final_fc", "kernel")] = jnp.asarray(
@@ -170,6 +174,68 @@ def test_discriminator_forward_matches_reference(torch_nets):
     )
 
 
+
+def _conv1d(w):  # (O, I, 1) -> (1, I, O)
+    return jnp.asarray(np.transpose(w.detach().numpy(), (2, 1, 0)))
+
+
+def _dense(w):
+    return jnp.asarray(w.detach().numpy().T)
+
+
+def _pointnetcls_variables(sd, template, ft=False):
+    """Map the reference PointNetCls state_dict onto the flax tree
+    (PointNetCls.py naming: STN blocks use bn1-3 for convs, bn4-5 for fcs)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    params, stats = {}, {}
+
+    def put_bn(dst, src):
+        params[dst + ("BatchNorm_0", "scale")] = _vec(sd[f"{src}.weight"])
+        params[dst + ("BatchNorm_0", "bias")] = _vec(sd[f"{src}.bias"])
+        stats[dst + ("BatchNorm_0", "mean")] = _vec(sd[f"{src}.running_mean"])
+        stats[dst + ("BatchNorm_0", "var")] = _vec(sd[f"{src}.running_var"])
+
+    def put_stn(dst_prefix, src_prefix):
+        for i in (1, 2, 3):
+            params[dst_prefix + (f"conv{i}", "Conv_0", "kernel")] = _conv1d(
+                sd[f"{src_prefix}.conv{i}.weight"]
+            )
+            params[dst_prefix + (f"conv{i}", "Conv_0", "bias")] = _vec(
+                sd[f"{src_prefix}.conv{i}.bias"]
+            )
+            put_bn(dst_prefix + (f"n_conv{i}",), f"{src_prefix}.bn{i}")
+        for j, bn in ((1, 4), (2, 5)):
+            params[dst_prefix + (f"fc{j}", "Dense_0", "kernel")] = _dense(
+                sd[f"{src_prefix}.fc{j}.weight"]
+            )
+            params[dst_prefix + (f"fc{j}", "Dense_0", "bias")] = _vec(
+                sd[f"{src_prefix}.fc{j}.bias"]
+            )
+            put_bn(dst_prefix + (f"n_fc{j}",), f"{src_prefix}.bn{bn}")
+        params[dst_prefix + ("fc3", "Dense_0", "kernel")] = _dense(sd[f"{src_prefix}.fc3.weight"])
+        params[dst_prefix + ("fc3", "Dense_0", "bias")] = _vec(sd[f"{src_prefix}.fc3.bias"])
+
+    put_stn(("feat", "stn"), "feat.stn")
+    if ft:
+        put_stn(("feat", "fstn"), "feat.fstn")
+    for i in (1, 2, 3):
+        params[("feat", f"conv{i}", "Conv_0", "kernel")] = _conv1d(sd[f"feat.conv{i}.weight"])
+        params[("feat", f"conv{i}", "Conv_0", "bias")] = _vec(sd[f"feat.conv{i}.bias"])
+        put_bn(("feat", f"bn_conv{i}"), f"feat.bn{i}")
+    for j in (1, 2, 3):
+        params[(f"fc{j}", "Dense_0", "kernel")] = _dense(sd[f"fc{j}.weight"])
+        params[(f"fc{j}", "Dense_0", "bias")] = _vec(sd[f"fc{j}.bias"])
+    put_bn(("bn1",), "bn1")
+    put_bn(("bn2",), "bn2")
+
+    flat_t = flatten_dict(template["params"])
+    assert set(flat_t) == set(params), set(flat_t) ^ set(params)
+    flat_s = flatten_dict(template["batch_stats"])
+    assert set(flat_s) == set(stats), set(flat_s) ^ set(stats)
+    return {"params": unflatten_dict(params), "batch_stats": unflatten_dict(stats)}
+
+
 def test_pointnet_discriminator_matches_reference():
     """D4: the reference PointNetCls (PointNetCls.py:170-214) with
     transplanted weights vs models/pointnet.py, eval mode, batch > 1."""
@@ -178,7 +244,6 @@ def test_pointnet_discriminator_matches_reference():
     sys.path.insert(0, REF_SRC)
     from networks.PointNetCls import PointNetCls as TorchPN
 
-    from flax.traverse_util import flatten_dict, unflatten_dict
     from pointcloududa_tpu.models.pointnet import PointNetCls
 
     torch.manual_seed(3)
@@ -199,49 +264,7 @@ def test_pointnet_discriminator_matches_reference():
     model = PointNetCls(compute_dtype=jnp.float32)
     pts = np.random.RandomState(4).rand(2, 300, 3).astype(np.float32)
     template = model.init(jax.random.PRNGKey(0), jnp.asarray(pts), train=False)
-
-    def conv1d(w):  # (O, I, 1) -> (1, I, O)
-        return jnp.asarray(np.transpose(w.detach().numpy(), (2, 1, 0)))
-
-    def dense(w):
-        return jnp.asarray(w.detach().numpy().T)
-
-    params, stats = {}, {}
-
-    def put_bn(dst, src):
-        params[dst + ("BatchNorm_0", "scale")] = _vec(sd[f"{src}.weight"])
-        params[dst + ("BatchNorm_0", "bias")] = _vec(sd[f"{src}.bias"])
-        stats[dst + ("BatchNorm_0", "mean")] = _vec(sd[f"{src}.running_mean"])
-        stats[dst + ("BatchNorm_0", "var")] = _vec(sd[f"{src}.running_var"])
-
-    # STN3d (feat.stn): conv1-3 + bn1-3, fc1-2 + bn4-5, fc3
-    for i in (1, 2, 3):
-        params[("feat", "stn", f"conv{i}", "Conv_0", "kernel")] = conv1d(sd[f"feat.stn.conv{i}.weight"])
-        params[("feat", "stn", f"conv{i}", "Conv_0", "bias")] = _vec(sd[f"feat.stn.conv{i}.bias"])
-        put_bn(("feat", "stn", f"n_conv{i}"), f"feat.stn.bn{i}")
-    for j, bn in ((1, 4), (2, 5)):
-        params[("feat", "stn", f"fc{j}", "Dense_0", "kernel")] = dense(sd[f"feat.stn.fc{j}.weight"])
-        params[("feat", "stn", f"fc{j}", "Dense_0", "bias")] = _vec(sd[f"feat.stn.fc{j}.bias"])
-        put_bn(("feat", "stn", f"n_fc{j}"), f"feat.stn.bn{bn}")
-    params[("feat", "stn", "fc3", "Dense_0", "kernel")] = dense(sd["feat.stn.fc3.weight"])
-    params[("feat", "stn", "fc3", "Dense_0", "bias")] = _vec(sd["feat.stn.fc3.bias"])
-    # PointNetfeat trunk: conv1-3 + bn1-3
-    for i in (1, 2, 3):
-        params[("feat", f"conv{i}", "Conv_0", "kernel")] = conv1d(sd[f"feat.conv{i}.weight"])
-        params[("feat", f"conv{i}", "Conv_0", "bias")] = _vec(sd[f"feat.conv{i}.bias"])
-        put_bn(("feat", f"bn_conv{i}"), f"feat.bn{i}")
-    # head: fc1-3 + bn1-2
-    for j in (1, 2, 3):
-        params[(f"fc{j}", "Dense_0", "kernel")] = dense(sd[f"fc{j}.weight"])
-        params[(f"fc{j}", "Dense_0", "bias")] = _vec(sd[f"fc{j}.bias"])
-    put_bn(("bn1",), "bn1")
-    put_bn(("bn2",), "bn2")
-
-    flat_t = flatten_dict(template["params"])
-    assert set(flat_t) == set(params), set(flat_t) ^ set(params)
-    flat_s = flatten_dict(template["batch_stats"])
-    assert set(flat_s) == set(stats), set(flat_s) ^ set(stats)
-    variables = {"params": unflatten_dict(params), "batch_stats": unflatten_dict(stats)}
+    variables = _pointnetcls_variables(sd, template)
 
     with torch.no_grad():
         ref_logit, ref_trans, _ = tm(torch.from_numpy(np.transpose(pts, (0, 2, 1))))
@@ -358,3 +381,97 @@ def test_chamfer_matches_reference(monkeypatch):
     ref = batch_NN_loss(torch.from_numpy(x), torch.from_numpy(y))
     got = chamfer_loss(jnp.asarray(x), jnp.asarray(y))
     np.testing.assert_allclose(float(got), float(ref), atol=1e-5)
+
+
+def test_ext_discriminator_matches_reference():
+    """`-extd*` variant: the two extra 3x3 s2 convs (GAN.py:101-105)."""
+    import torch
+
+    sys.path.insert(0, REF_SRC)
+    from networks.GAN import UncertaintyDiscriminator as TorchDisc
+
+    from flax.traverse_util import flatten_dict, unflatten_dict
+    from pointcloududa_tpu.models.discriminator import UncertaintyDiscriminator
+
+    torch.manual_seed(8)
+    tdisc = TorchDisc(in_channel=5, ext=True)
+    tdisc.eval()
+    sd = tdisc.state_dict()
+
+    model = UncertaintyDiscriminator(in_channel=5, ext=True, compute_dtype=jnp.float32)
+    x = np.random.RandomState(9).rand(2, 96, 96, 5).astype(np.float32)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {
+        (name, "kernel"): _conv(sd[f"{name}.weight"])
+        for name in ("conv1", "conv2", "conv3", "conv4", "conv4_2", "conv4_3", "conv5")
+    }
+    flat_t = flatten_dict(template["params"])
+    assert set(flat_t) == set(params), set(flat_t) ^ set(params)
+
+    with torch.no_grad():
+        ref = tdisc(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    out = model.apply({"params": unflatten_dict(params)}, jnp.asarray(x))
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, atol=2e-4)
+
+
+def test_extpn_generator_point_head_matches_reference(torch_nets):
+    """`-extpn` variant: the point head's two extra 3x3 convs (unet.py:82-84)."""
+    torch, _, _ = torch_nets
+    from networks.unet import Segmentation_model_Point as TorchGen
+
+    from pointcloududa_tpu.models.unet import SegmentationPointModel
+
+    torch.manual_seed(10)
+    tgen = TorchGen(filters=32, n_block=4, n_class=4, pointnet=True, fc_inch=1, extpn=True)
+    for m in tgen.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0.0, 0.3)
+            m.running_var.uniform_(0.5, 1.5)
+    tgen.eval()
+    sd = tgen.state_dict()
+
+    model = SegmentationPointModel(
+        filters=32, n_block=4, n_class=4, pointnet=True, fc_inch=1, extpn=True,
+        packed_level0=True, compute_dtype=jnp.float32,
+    )
+    x = np.random.RandomState(11).rand(2, 96, 96, 3).astype(np.float32)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    variables = _gen_variables(sd, template, extpn=True)
+
+    with torch.no_grad():
+        t_logits, _, t_points = tgen(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    logits, _, points = model.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(points), t_points.numpy(), atol=1e-4)
+    ref = np.transpose(t_logits.numpy(), (0, 2, 3, 1))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(logits) / scale, ref / scale, atol=2e-5)
+
+
+def test_pointnet_discriminator_ft_matches_reference():
+    """`-ft` variant: the STNkd 64x64 feature transform (PointNetCls.py:66-102)."""
+    import torch
+
+    sys.path.insert(0, REF_SRC)
+    from networks.PointNetCls import PointNetCls as TorchPN
+
+    from pointcloududa_tpu.models.pointnet import PointNetCls
+
+    torch.manual_seed(12)
+    tm = TorchPN(feature_transform=True)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.normal_(0.0, 0.3)
+            m.running_var.uniform_(0.5, 1.5)
+    tm.eval()
+    sd = tm.state_dict()
+
+    model = PointNetCls(feature_transform=True, compute_dtype=jnp.float32)
+    pts = np.random.RandomState(13).rand(2, 300, 3).astype(np.float32)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(pts), train=False)
+    variables = _pointnetcls_variables(sd, template, ft=True)
+
+    with torch.no_grad():
+        ref_logit, _, ref_tf = tm(torch.from_numpy(np.transpose(pts, (0, 2, 1))))
+    logit, _, trans_feat = model.apply(variables, jnp.asarray(pts), train=False)
+    np.testing.assert_allclose(np.asarray(trans_feat), ref_tf.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logit), ref_logit.numpy(), atol=1e-3)
