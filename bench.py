@@ -53,7 +53,8 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "24"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     chamfer = os.environ.get("BENCH_CHAMFER", "auto")
-    # BENCH_PACKED: 0 = standard, 1 = level-0 packed, 2 = levels 0+1 packed
+    # BENCH_PACKED: 0 = standard, 1 = level-0 packed, 2 = levels 0+1 packed,
+    # 3 = level-0 + packed_compute (losses/D1/D2 stay in the packed layout)
     packed = int(os.environ.get("BENCH_PACKED", "1") or "0")
     bn_impl = os.environ.get("BENCH_BN", "auto")  # auto | pallas | xla
     # BENCH_WORKLOAD=mmwhs benches BASELINE config 5 (train_mmwhs.py full
@@ -62,7 +63,8 @@ def main():
 
     kw = dict(
         bs=bs, compute_dtype=dtype, chamfer_impl=chamfer,
-        packed_level0=packed >= 1, packed_level1=packed >= 2, bn_stats_impl=bn_impl,
+        packed_level0=packed >= 1, packed_level1=packed == 2,
+        packed_compute=packed == 3, bn_stats_impl=bn_impl,
     )
     if workload == "mmwhs":
         cfg = mmwhs_default(softmax=True, d2=True, d4=True, **kw)

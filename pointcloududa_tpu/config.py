@@ -103,6 +103,12 @@ class UDAConfig:
     # also pack the profitable level-1 ops (encoder block 2 + the level-1
     # fused up-conv); requires crop_size % 4 == 0
     packed_level1: bool = False
+    # keep the train step's logits/probs/entropy tensors in the packed
+    # layout end-to-end (generator emits packed logits, losses use the
+    # layout-agnostic reductions, D1/D2 ingest packed via a dense packed
+    # first conv) — removes the per-step depth_to_space relayouts and the
+    # lane-padded C=n_class elementwise ops. Requires packed_level0.
+    packed_compute: bool = False
     # BN batch-statistics implementation. "xla" (default): flax's fused
     # convert+reduce — measured FASTER in-step (338 vs 327 slices/s/chip,
     # r2) because XLA fuses the stats pass with the activation write.

@@ -25,12 +25,38 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pointcloududa_tpu.models.init import conv_init
+from pointcloududa_tpu.ops.packed import pack_stride2_kernel, packed_stride2_conv
+
+
+class _PStride2Conv(nn.Module):
+    """Packed twin of the first k4 s2 pad2 conv: the parameter keeps the
+    unpacked (4,4,C,K) shape/name (checkpoint interop); the input arrives
+    c-major space-to-depth packed (B,H/2,W/2,4C) and the output is the
+    standard (B,ceil(H/2)+1,...,K) tensor — exact, dense (ops/packed.py)."""
+
+    features: int
+    heinit: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        c_in = xp.shape[-1] // 4
+        kernel = self.param(
+            "kernel", conv_init(self.heinit), (4, 4, c_in, self.features), jnp.float32
+        )
+        return packed_stride2_conv(
+            xp.astype(self.compute_dtype), pack_stride2_kernel(kernel).astype(self.compute_dtype)
+        )
 
 
 class UncertaintyDiscriminator(nn.Module):
     in_channel: int = 2  # kept for API parity; inferred from input in flax
     heinit: bool = False
     ext: bool = False
+    # accept the c-major packed layout (B,H/2,W/2,4C) directly — the train
+    # step's packed-compute path feeds packed probs/entropy maps without an
+    # intermediate depth_to_space relayout
+    packed_input: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,7 +77,13 @@ class UncertaintyDiscriminator(nn.Module):
             )(x)
 
         lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.2)  # noqa: E731
-        x = lrelu(sconv(x, 64, 4, 2, "conv1"))
+        if self.packed_input:
+            x = lrelu(
+                _PStride2Conv(64, heinit=self.heinit, compute_dtype=self.compute_dtype,
+                              name="conv1")(x)
+            )
+        else:
+            x = lrelu(sconv(x, 64, 4, 2, "conv1"))
         x = lrelu(sconv(x, 128, 4, 2, "conv2"))
         x = lrelu(sconv(x, 256, 4, 2, "conv3"))
         x = lrelu(sconv(x, 512, 4, 2, "conv4"))

@@ -553,7 +553,13 @@ class SegmentationPointModel(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, *, emit_packed: bool = False):
+        # emit_packed: skip the final depth_to_space and return the logits in
+        # the c-major packed layout (B, H/2, W/2, 4*n_class) — the train
+        # step's packed-compute path consumes them directly (losses are
+        # layout-agnostic; see train/step.py). Requires packed_level0.
+        if emit_packed and not self.packed_level0:
+            raise ValueError("emit_packed requires packed_level0")
         x = x.astype(self.compute_dtype)
         if self.packed_level0 and (x.shape[1] % 2 or x.shape[2] % 2):
             raise ValueError(f"packed_level0 needs even H, W (got {x.shape[1:3]})")
@@ -628,7 +634,8 @@ class SegmentationPointModel(nn.Module):
                 compute_dtype=jnp.float32,
                 name="classifier",
             )(x.astype(jnp.float32))
-            logits = depth_to_space(logits)
+            if not emit_packed:
+                logits = depth_to_space(logits)
         else:
             logits = nn.Conv(
                 self.n_class,

@@ -206,3 +206,34 @@ def packed_bn_stats(xp: jnp.ndarray):
     mean = jnp.mean(xf, axis=(0, 1, 2, 4))
     mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 4))
     return mean, jnp.maximum(mean2 - jnp.square(mean), 0.0)
+
+
+def pack_stride2_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(4,4,C,K) stride-2 pad-2 kernel -> (2,2,4C,K) DENSE kernel on the
+    packed grid (output UNPACKED at the strided resolution).
+
+    Output pixel (i,j) of the original conv reads rows 2i+dy-2, dy in 0..3;
+    row 2i+dy-2 = packed cell (i + alpha - 1) sub-position py with
+    dy = 2*alpha + py — every tap maps, so the packed kernel has no zeros.
+    With ((1,1),(1,1)) padding on the packed grid the 113-wide torch output
+    of a 224-input (pad-2 k4 s2) is reproduced exactly: the left pad cell
+    covers original rows -2/-1 and the right pad cell rows 224/225, all
+    zero in both formulations."""
+    kh, kw, c, k = w.shape
+    assert kh == 4 and kw == 4, "stride-2 packed path supports 4x4 kernels only"
+    wp = w.reshape(2, 2, 2, 2, c, k)  # (alpha, py, beta, px, c, k)
+    wp = wp.transpose(0, 2, 4, 1, 3, 5)  # (alpha, beta, c, py, px, k)
+    return wp.reshape(2, 2, c * _SUB, k)
+
+
+def packed_stride2_conv(xp: jnp.ndarray, wp: jnp.ndarray) -> jnp.ndarray:
+    """Apply a :func:`pack_stride2_kernel` kernel to a packed input: the
+    exact equivalent of the original k4 s2 pad2 conv (e.g. the
+    UncertaintyDiscriminator's first layer, GAN.py:97)."""
+    return lax.conv_general_dilated(
+        xp,
+        wp,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )

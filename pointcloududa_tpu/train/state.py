@@ -91,13 +91,21 @@ def build_models(cfg: UDAConfig):
         bn_pallas=bn_pallas,
         compute_dtype=dtype,
     )
+    if cfg.packed_compute and not cfg.packed_level0:
+        raise ValueError("packed_compute requires packed_level0")
     d1 = (
-        UncertaintyDiscriminator(in_channel=cfg.n_class, heinit=cfg.heinit, ext=cfg.extd1, compute_dtype=dtype)
+        UncertaintyDiscriminator(
+            in_channel=cfg.n_class, heinit=cfg.heinit, ext=cfg.extd1,
+            packed_input=cfg.packed_compute, compute_dtype=dtype,
+        )
         if cfg.d1
         else None
     )
     d2 = (
-        UncertaintyDiscriminator(in_channel=cfg.n_class, heinit=cfg.heinit, ext=cfg.extd2, compute_dtype=dtype)
+        UncertaintyDiscriminator(
+            in_channel=cfg.n_class, heinit=cfg.heinit, ext=cfg.extd2,
+            packed_input=cfg.packed_compute, compute_dtype=dtype,
+        )
         if cfg.d2
         else None
     )
@@ -139,10 +147,19 @@ def create_train_state(cfg: UDAConfig, rng: jax.Array) -> UDATrainState:
     img = jnp.zeros((2, cfg.crop_size, cfg.crop_size, cfg.in_channels), jnp.float32)
     gen_state = _init_net(gen, gen_tx, rngs[0], img, train=False)
     d1_state = d2_state = d4_state = None
+    # packed_compute: D1/D2 ingest the c-major packed layout; the param tree
+    # is identical either way (the packed first conv declares the unpacked
+    # (4,4,C,K) kernel), only the init example's shape differs
+    if cfg.packed_compute:
+        d_in = jnp.zeros(
+            (2, cfg.crop_size // 2, cfg.crop_size // 2, 4 * cfg.n_class), jnp.float32
+        )
+    else:
+        d_in = jnp.zeros((2, cfg.crop_size, cfg.crop_size, cfg.n_class), jnp.float32)
     if cfg.d1:
-        d1_state = _init_net(d1, d1_tx, rngs[1], jnp.zeros((2, cfg.crop_size, cfg.crop_size, cfg.n_class), jnp.float32))
+        d1_state = _init_net(d1, d1_tx, rngs[1], d_in)
     if cfg.d2:
-        d2_state = _init_net(d2, d2_tx, rngs[2], jnp.zeros((2, cfg.crop_size, cfg.crop_size, cfg.n_class), jnp.float32))
+        d2_state = _init_net(d2, d2_tx, rngs[2], d_in)
     if cfg.d4:
         d4_state = _init_net(d4, d4_tx, rngs[3], jnp.zeros((2, 300, 3), jnp.float32), train=False)
     return UDATrainState(

@@ -40,6 +40,7 @@ import optax
 
 from pointcloududa_tpu.config import UDAConfig
 from pointcloududa_tpu.ops import losses
+from pointcloududa_tpu.ops.packed import space_to_depth
 from pointcloududa_tpu.train.state import NetState, UDATrainState
 
 SOURCE_LABEL = 1.0  # reference train_mscmrseg.py:160-161
@@ -112,9 +113,37 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
     gen_tx, d1_tx, d2_tx, d4_tx = optimizers
     chamfer = _chamfer(cfg)
 
+    # packed-compute layout helpers (cfg.packed_compute): logits/probs/
+    # entropy tensors stay in the c-major packed layout (B,h,w,4C); pv()
+    # exposes the per-PIXEL class axis as a 5-D view (B,h,w,4,C) for the
+    # class-sensitive reductions — every loss here is shape-generic with
+    # class_axis=-1, and elementwise losses see the same element set either
+    # way, so values are identical to the standard layout.
+    pc = cfg.packed_compute
+    n_cls = cfg.n_class
+
+    def pv(t):
+        if not pc:
+            return t
+        b, h, w, c4 = t.shape
+        return t.reshape(b, h, w, n_cls, 4).swapaxes(-1, -2)
+
+    def ipv(t):
+        if not pc:
+            return t
+        b, h, w, sub, c = t.shape
+        return t.swapaxes(-1, -2).reshape(b, h, w, c * 4)
+
+    def activate(o):
+        if cfg.softmax:
+            return ipv(jax.nn.softmax(pv(o), axis=-1))
+        return jax.nn.sigmoid(o)
+
     def step(state: UDATrainState, batch: Dict[str, jnp.ndarray]):
         rng, r_drop_s, r_drop_t, r_d4a, r_d4b, r_d4c = jax.random.split(state.rng, 6)
         img_s, mask_s = batch["img_s"], batch["mask_s"].astype(jnp.float32)
+        if pc:
+            mask_s = space_to_depth(mask_s)
         img_t = batch["img_t"]
         vert_s = batch.get("vert_s")
         vert_t = batch.get("vert_t")
@@ -141,27 +170,29 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             aux: Dict[str, Any] = {}
             v = {"params": gen_params, "batch_stats": state.gen.batch_stats}
             (o_s, _, pv_s), m1 = gen.apply(
-                v, img_s, train=True, mutable=["batch_stats"], rngs={"dropout": r_drop_s}
+                v, img_s, train=True, mutable=["batch_stats"],
+                rngs={"dropout": r_drop_s}, emit_packed=pc,
             )
-            probs_s = _activate(cfg, o_s)
-            l1, l2 = _supervised_loss(cfg, o_s, probs_s, mask_s, sm)
+            probs_s = activate(o_s)
+            l1, l2 = _supervised_loss(cfg, pv(o_s), pv(probs_s), pv(mask_s), sm)
             l3 = 0.0
             if cfg.point_head:
                 l3 = chamfer_m(pv_s, vert_s)
                 aux["ver_s_loss"] = l3
             unc_s = _entropy_map(cfg, probs_s)
-            ent_s = losses.masked_mean(jnp.sum(unc_s, axis=-1), sm)
+            ent_s = losses.masked_mean(jnp.sum(pv(unc_s), axis=-1), sm)
             sup = l1 + l2 + cfg.wp * l3
             if cfg.etpls and cfg.d2:
                 sup = sup + ent_s  # train_mmwhs.py:227-230
 
             v = {"params": gen_params, "batch_stats": m1["batch_stats"]}
             (o_t, _, pv_t), m2 = gen.apply(
-                v, img_t, train=True, mutable=["batch_stats"], rngs={"dropout": r_drop_t}
+                v, img_t, train=True, mutable=["batch_stats"],
+                rngs={"dropout": r_drop_t}, emit_packed=pc,
             )
-            probs_t = _activate(cfg, o_t)
+            probs_t = activate(o_t)
             unc_t = _entropy_map(cfg, probs_t)
-            ent_t = losses.masked_mean(jnp.sum(unc_t, axis=-1), sm)
+            ent_t = losses.masked_mean(jnp.sum(pv(unc_t), axis=-1), sm)
 
             adv = ent_t if cfg.Tetpls else 0.0
             d4_stats = d4_stats0
@@ -225,8 +256,11 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             metrics["ver_t_loss"] = aux["ver_t_loss"]
         # train-time dice on hard predictions (soft_to_hard ties -> multi-hot,
         # reference utils.py:32-40 + metric.py:17-36 with its numLabels=4)
-        hard = (aux["o_s"] == jnp.max(aux["o_s"], axis=-1, keepdims=True)).astype(jnp.float32)
-        metrics["seg_dice"] = losses.dice_coef_multilabel(mask_s, hard, num_labels=4, sample_mask=sm)
+        o_s_pv = pv(aux["o_s"])
+        hard = (o_s_pv == jnp.max(o_s_pv, axis=-1, keepdims=True)).astype(jnp.float32)
+        metrics["seg_dice"] = losses.dice_coef_multilabel(
+            pv(mask_s), hard, num_labels=4, sample_mask=sm
+        )
 
         # ---- phases 3+4: discriminators on detached outputs --------------
         # (values from the OLD generator; no gradient flows back to it)

@@ -204,3 +204,28 @@ def test_checkpoint_interop_across_layouts(tmp_path, rnd):
     lg_std, _, _ = m_std.apply(v, x, train=False)
     lg_pkd, _, _ = m_pkd.apply(restored, x, train=False)
     np.testing.assert_allclose(lg_pkd, lg_std, atol=1e-4)
+
+
+def test_stride2_packed_conv_matches(rnd):
+    x = jnp.asarray(rnd.randn(2, 24, 28, 5).astype(np.float32))
+    w = jnp.asarray(rnd.randn(4, 4, 5, 7).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (2, 2), ((2, 2), (2, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = P.packed_stride2_conv(P.space_to_depth(x), P.pack_stride2_kernel(w))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_discriminator_packed_input_equivalent(rnd):
+    from pointcloududa_tpu.models.discriminator import UncertaintyDiscriminator
+
+    m_std = UncertaintyDiscriminator(in_channel=4, compute_dtype=jnp.float32)
+    m_pkd = UncertaintyDiscriminator(in_channel=4, packed_input=True, compute_dtype=jnp.float32)
+    x = jnp.asarray(rnd.randn(2, 48, 48, 4).astype(np.float32))
+    v = m_std.init(jax.random.PRNGKey(0), x)
+    v_p = m_pkd.init(jax.random.PRNGKey(0), P.space_to_depth(x))
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_p)
+    ref = m_std.apply(v, x)
+    got = m_pkd.apply(v, P.space_to_depth(x))
+    np.testing.assert_allclose(got, ref, atol=2e-4)

@@ -188,3 +188,26 @@ def test_packed_step_equivalent_and_sharded():
     _, metrics = step(state, sbatch)
     assert np.isfinite(float(metrics["seg_loss"]))
     assert np.isfinite(float(metrics["d4_loss"]))
+
+
+@pytest.mark.parametrize("softmax", [False, True], ids=["sigmoid", "softmax"])
+def test_packed_compute_step_equivalent(softmax):
+    """cfg.packed_compute keeps logits/probs/entropy packed through the
+    losses and feeds D1/D2 packed — a pure layout change: metrics must match
+    the standard step from the same init (discrete accuracies range-checked,
+    as in the packed_level0 test)."""
+    over = dict(d1=True, d2=True, d4=True)
+    if softmax:
+        over.update(softmax=True, etpls=True, Tetpls=True)
+    cfg_s, state_s, step_s = _setup(**over)
+    cfg_p, state_p, step_p = _setup(packed_level0=True, packed_compute=True, **over)
+    batch = synthetic_batch(cfg_s, 4)
+    _, m_s = step_s(state_s, batch)
+    _, m_p = step_p(state_p, batch)
+    for k in m_s:
+        if "acc" in k:
+            assert 0.0 <= float(m_p[k]) <= 1.0, k
+            continue
+        np.testing.assert_allclose(
+            float(m_p[k]), float(m_s[k]), rtol=5e-3, atol=1e-4, err_msg=k
+        )
