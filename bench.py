@@ -55,7 +55,7 @@ def main():
     chamfer = os.environ.get("BENCH_CHAMFER", "auto")
     # BENCH_PACKED: 0 = standard, 1 = level-0 packed, 2 = levels 0+1 packed,
     # 3 = level-0 + packed_compute (losses/D1/D2 stay in the packed layout)
-    packed = int(os.environ.get("BENCH_PACKED", "1") or "0")
+    packed = int(os.environ.get("BENCH_PACKED", "3") or "0")
     bn_impl = os.environ.get("BENCH_BN", "auto")  # auto | pallas | xla
     # BENCH_WORKLOAD=mmwhs benches BASELINE config 5 (train_mmwhs.py full
     # pipeline: 256^2 5-class softmax-CE, D2+D4, entropy/log C)

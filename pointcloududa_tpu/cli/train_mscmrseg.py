@@ -93,6 +93,7 @@ def config_from_args(args) -> "UDAConfig":
         max_hours=args.max_hours,
         patience=args.patience,
         packed_level0=not args.no_packed,
+        packed_compute=not args.no_packed,
     )
 
 

@@ -211,3 +211,17 @@ def test_packed_compute_step_equivalent(softmax):
         np.testing.assert_allclose(
             float(m_p[k]), float(m_s[k]), rtol=5e-3, atol=1e-4, err_msg=k
         )
+
+    # and under the 8-device data mesh (sigmoid engine only, for time)
+    if not softmax:
+        from pointcloududa_tpu.parallel import create_mesh, replicate, shard_batch
+
+        cfg, state, step = _setup(
+            d1=True, d2=True, d4=True, packed_level0=True, packed_compute=True, bs=8
+        )
+        mesh = create_mesh(8)
+        state = replicate(state, mesh)
+        sbatch = shard_batch(synthetic_batch(cfg, 8), mesh)
+        _, metrics = step(state, sbatch)
+        assert np.isfinite(float(metrics["seg_loss"]))
+        assert np.isfinite(float(metrics["d1_loss"]))
