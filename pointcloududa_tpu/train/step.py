@@ -139,6 +139,10 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             return ipv(jax.nn.softmax(pv(o), axis=-1))
         return jax.nn.sigmoid(o)
 
+    # only the packed-compute path passes the kwarg: custom generator
+    # modules (e.g. the torch-twin parity tests') need not accept it
+    gen_kwargs = {"emit_packed": True} if pc else {}
+
     def step(state: UDATrainState, batch: Dict[str, jnp.ndarray]):
         rng, r_drop_s, r_drop_t, r_d4a, r_d4b, r_d4c = jax.random.split(state.rng, 6)
         img_s, mask_s = batch["img_s"], batch["mask_s"].astype(jnp.float32)
@@ -171,7 +175,7 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             v = {"params": gen_params, "batch_stats": state.gen.batch_stats}
             (o_s, _, pv_s), m1 = gen.apply(
                 v, img_s, train=True, mutable=["batch_stats"],
-                rngs={"dropout": r_drop_s}, emit_packed=pc,
+                rngs={"dropout": r_drop_s}, **gen_kwargs,
             )
             probs_s = activate(o_s)
             l1, l2 = _supervised_loss(cfg, pv(o_s), pv(probs_s), pv(mask_s), sm)
@@ -188,7 +192,7 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
             v = {"params": gen_params, "batch_stats": m1["batch_stats"]}
             (o_t, _, pv_t), m2 = gen.apply(
                 v, img_t, train=True, mutable=["batch_stats"],
-                rngs={"dropout": r_drop_t}, emit_packed=pc,
+                rngs={"dropout": r_drop_t}, **gen_kwargs,
             )
             probs_t = activate(o_t)
             unc_t = _entropy_map(cfg, probs_t)
