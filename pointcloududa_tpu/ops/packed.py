@@ -237,3 +237,18 @@ def packed_stride2_conv(xp: jnp.ndarray, wp: jnp.ndarray) -> jnp.ndarray:
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def pixel_class_view(t: jnp.ndarray, n_class: int) -> jnp.ndarray:
+    """c-major packed (B, h, w, 4C) -> (B, h, w, 4, C): the per-PIXEL class
+    axis exposed last, for class-sensitive reductions (softmax, jaccard,
+    dice, CE). Owns the packed-channel-order invariant (channel = c*4+sub)
+    together with :func:`space_to_depth` — keep them in lockstep."""
+    b, h, w, c4 = t.shape
+    return t.reshape(b, h, w, n_class, _SUB).swapaxes(-1, -2)
+
+
+def unpixel_class_view(t: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pixel_class_view`."""
+    b, h, w, sub, c = t.shape
+    return t.swapaxes(-1, -2).reshape(b, h, w, c * sub)

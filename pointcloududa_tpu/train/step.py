@@ -40,7 +40,7 @@ import optax
 
 from pointcloududa_tpu.config import UDAConfig
 from pointcloududa_tpu.ops import losses
-from pointcloududa_tpu.ops.packed import space_to_depth
+from pointcloududa_tpu.ops.packed import pixel_class_view, space_to_depth, unpixel_class_view
 from pointcloududa_tpu.train.state import NetState, UDATrainState
 
 SOURCE_LABEL = 1.0  # reference train_mscmrseg.py:160-161
@@ -123,16 +123,10 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
     n_cls = cfg.n_class
 
     def pv(t):
-        if not pc:
-            return t
-        b, h, w, c4 = t.shape
-        return t.reshape(b, h, w, n_cls, 4).swapaxes(-1, -2)
+        return pixel_class_view(t, n_cls) if pc else t
 
     def ipv(t):
-        if not pc:
-            return t
-        b, h, w, sub, c = t.shape
-        return t.swapaxes(-1, -2).reshape(b, h, w, c * 4)
+        return unpixel_class_view(t) if pc else t
 
     def activate(o):
         if cfg.softmax:

@@ -35,7 +35,7 @@ def main(argv=None):
 
     cfg = mscmrseg_default(
         d1=True, d2=True, d4=True, bs=args.bs, compute_dtype=args.dtype,
-        packed_level0=args.packed,
+        packed_level0=args.packed, packed_compute=args.packed,
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))

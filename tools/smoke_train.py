@@ -59,7 +59,7 @@ def main(argv=None):
 
     cfg = mscmrseg_default(
         crop_size=args.size, fc_inch=81 if args.size == 224 else 1, bs=args.bs,
-        lr=args.lr, compute_dtype=args.dtype, packed_level0=args.packed,
+        lr=args.lr, compute_dtype=args.dtype, packed_level0=args.packed, packed_compute=args.packed,
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))

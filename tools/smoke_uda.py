@@ -64,7 +64,7 @@ def main(argv=None):
         d2=True,
         d4=args.d4,
         compute_dtype=args.dtype,
-        packed_level0=args.packed,
+        packed_level0=args.packed, packed_compute=args.packed,
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     models = build_models(cfg)
