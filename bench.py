@@ -49,13 +49,25 @@ def main():
     from pointcloududa_tpu.train.state import build_models, build_optimizers, create_train_state
     from pointcloududa_tpu.train.step import make_train_step
 
-    bs = int(os.environ.get("BENCH_BS", "16"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "24"))
+    def _int_env(name, default):
+        raw = os.environ.get(name, "") or default
+        try:
+            return int(raw)
+        except ValueError:
+            raise SystemExit(f"{name} must be an integer, got {raw!r}")
+
+    bs = _int_env("BENCH_BS", "16")
+    n_steps = _int_env("BENCH_STEPS", "24")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     chamfer = os.environ.get("BENCH_CHAMFER", "auto")
-    # BENCH_PACKED: 0 = standard, 1 = level-0 packed, 2 = levels 0+1 packed,
-    # 3 = level-0 + packed_compute (losses/D1/D2 stay in the packed layout)
-    packed = int(os.environ.get("BENCH_PACKED", "3") or "0")
+    # BENCH_PACKED selects one measured configuration (the modes are
+    # mutually exclusive on purpose — each row of the docs/PACKED.md table):
+    # 0 = standard, 1 = level-0 packed, 2 = levels 0+1 packed (l0+l1 was
+    # measured SLOWER than l0 alone, so no l1+compute combination is
+    # offered), 3 = level-0 + packed_compute (the production default).
+    packed = _int_env("BENCH_PACKED", "3")
+    if packed not in (0, 1, 2, 3):
+        raise SystemExit(f"BENCH_PACKED must be 0..3, got {packed}")
     bn_impl = os.environ.get("BENCH_BN", "auto")  # auto | pallas | xla
     # BENCH_WORKLOAD=mmwhs benches BASELINE config 5 (train_mmwhs.py full
     # pipeline: 256^2 5-class softmax-CE, D2+D4, entropy/log C)

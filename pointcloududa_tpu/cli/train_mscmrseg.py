@@ -48,7 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-no_packed",
         help="disable the s2d-packed level-0 layout (ops/packed.py; numerically "
-        "equivalent, measured +46%% step throughput on TPU)",
+        "equivalent, measured +46%% step throughput on TPU; with -drop the "
+        "dropout mask is drawn in the packed layout, so same-seed runs "
+        "diverge across layouts — same distribution, different RNG alignment)",
         action="store_true",
     )
     p.add_argument("-workers", type=int, default=4)

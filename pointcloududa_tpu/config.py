@@ -114,8 +114,14 @@ class UDAConfig:
     # r2) because XLA fuses the stats pass with the activation write.
     # "pallas": the ops/bn_pallas.py single-pass kernel — 2.1x faster
     # standalone (0.116 vs 0.245 ms on bf16[16,112,112,128]) but it splits
-    # that fusion inside the train step; TPU-only (interpret mode in tests).
+    # that fusion inside the train step; TPU-only (interpret mode in tests)
+    # and SINGLE-CHIP only (the pallas_call is opaque to GSPMD; build_models
+    # rejects it on a >1-device mesh).
     bn_stats_impl: str = "xla"
+    # torch-exact BatchNorm running-variance update: feed the unbiased
+    # (n/(n-1)) batch variance like nn.BatchNorm2d (reference
+    # src/networks/unet.py:28). False restores flax's biased update.
+    torch_bn_stats: bool = True
     # NaN guard: the TPU-native stand-in for the reference's always-on
     # torch.autograd.set_detect_anomaly (train_mscmrseg.py:703) — opt-in
     # here because it forces sync checks (SURVEY.md §5)

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pointcloududa_tpu.models.init import torch_linear_init
+from pointcloududa_tpu.models.unet import _TwinBatchNorm
 
 
 class _Norm1d(nn.Module):
@@ -49,14 +50,13 @@ class _Norm1d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         if not self.single_sample:
-            # f32 normalisation end-to-end (stats are f32 in flax either way)
-            return nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                param_dtype=jnp.float32,
-            )(x).astype(self.compute_dtype)
+            # torch-exact BatchNorm1d twin: flax-identical f32 normalisation,
+            # but the running-variance update feeds the unbiased (n/(n-1))
+            # batch variance like torch (reference PointNetCls.py BatchNorm1d
+            # layers). State tree matches flax ("BatchNorm_0" {mean,var}).
+            return _TwinBatchNorm(unbiased=True, name="BatchNorm_0")(
+                x, use_running_average=not train
+            ).astype(self.compute_dtype)
         # per-sample normalisation (instance-norm style, no running stats)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)

@@ -69,6 +69,7 @@ class ConvLReLUNorm(nn.Module):
     dropout: bool = False
     heinit: bool = False
     bn_pallas: bool = False
+    torch_bn_stats: bool = True
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -85,15 +86,20 @@ class ConvLReLUNorm(nn.Module):
         if self.dropout:
             x = nn.Dropout(0.5, deterministic=not train)(x)
         if self.batch_norm:
-            if self.bn_pallas:
-                # flax-identical semantics, Pallas single-pass statistics
-                # (ops/bn_pallas.py; ~2x the XLA reduce's bandwidth)
-                x = _TwinBatchNorm(bn_pallas=True, name="BatchNorm_0")(
-                    x, use_running_average=not train
-                ).astype(self.compute_dtype)
+            if self.bn_pallas or self.torch_bn_stats:
+                # _TwinBatchNorm: flax-identical normalisation; with
+                # ``unbiased`` the running-variance update feeds the
+                # n/(n-1)-corrected batch variance, exactly like torch's
+                # nn.BatchNorm2d (reference src/networks/unet.py:28) —
+                # the default, so running stats match torch to fp tolerance
+                x = _TwinBatchNorm(
+                    bn_pallas=self.bn_pallas,
+                    unbiased=self.torch_bn_stats,
+                    name="BatchNorm_0",
+                )(x, use_running_average=not train).astype(self.compute_dtype)
             else:
-                # f32 normalisation end-to-end (flax already computes the
-                # batch statistics in f32; scale/bias applied in f32 too)
+                # pure-flax path (torch_bn_stats=False): biased running-var
+                # update, f32 normalisation end-to-end
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
@@ -149,10 +155,17 @@ class _TwinBatchNorm(nn.Module):
     (ops/bn_pallas.py) over the jnp reduction. flax semantics throughout
     (f32 fast variance with clipping, momentum running update, frozen at
     init); param/variable names and (C,) shapes match flax, so the state
-    tree is identical to the standard path."""
+    tree is identical to the standard path.
+
+    ``unbiased``: feed the n/(n-1)-corrected (unbiased) batch variance into
+    the running-variance update — torch ``nn.BatchNorm2d`` semantics
+    (reference ``src/networks/unet.py:28``; normalisation itself still uses
+    the biased variance, exactly like torch). flax's default is the biased
+    update; the factor was PARITY.md deviation 0 until it became this flag."""
 
     packed: bool = False
     bn_pallas: bool = False
+    unbiased: bool = False
     momentum: float = 0.9
     epsilon: float = 1e-5
 
@@ -169,8 +182,13 @@ class _TwinBatchNorm(nn.Module):
             stats = batch_stats_packed if self.packed else batch_stats_nhwc
             mean, var = stats(x, use_kernel=self.bn_pallas)
             if not self.is_initializing():
+                # per-channel element count; a packed tensor's 4 sub-position
+                # lanes belong to the same original channel, so n equals the
+                # unpacked B*H*W either way
+                n = x.size // c
+                up_var = var * (n / (n - 1)) if self.unbiased else var
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * up_var
         mul = jax.lax.rsqrt(var + self.epsilon) * scale
         shift = bias - mean * mul
         if self.packed:
@@ -189,6 +207,7 @@ class PackedConvLReLUNorm(nn.Module):
     dropout: bool = False
     heinit: bool = False
     bn_pallas: bool = False
+    torch_bn_stats: bool = True
     compute_dtype: Any = jnp.float32
     kind: str = "conv"
 
@@ -205,9 +224,12 @@ class PackedConvLReLUNorm(nn.Module):
         if self.dropout:
             xp = nn.Dropout(0.5, deterministic=not train, name="Dropout_0")(xp)
         if self.batch_norm:
-            xp = _TwinBatchNorm(packed=True, bn_pallas=self.bn_pallas, name="BatchNorm_0")(
-                xp, use_running_average=not train
-            )
+            xp = _TwinBatchNorm(
+                packed=True,
+                bn_pallas=self.bn_pallas,
+                unbiased=self.torch_bn_stats,
+                name="BatchNorm_0",
+            )(xp, use_running_average=not train)
             xp = xp.astype(self.compute_dtype)
         return xp
 
@@ -232,6 +254,9 @@ class Encoder(nn.Module):
     # traffic; independent of packed_level0
     packed_level1: bool = False
     bn_pallas: bool = False
+    # torch-exact running-variance update (n/(n-1) factor); see
+    # _TwinBatchNorm.unbiased — default matches the reference
+    torch_bn_stats: bool = True
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -268,6 +293,7 @@ class Encoder(nn.Module):
                         batch_norm=self.batch_norm,
                         heinit=self.heinit,
                         bn_pallas=self.bn_pallas,
+                        torch_bn_stats=self.torch_bn_stats,
                         compute_dtype=self.compute_dtype,
                         name=f"encoder2_conv{j + 1}",
                     )(xp, train)
@@ -296,6 +322,7 @@ class Encoder(nn.Module):
                         batch_norm=self.batch_norm,
                         heinit=self.heinit,
                         bn_pallas=self.bn_pallas,
+                        torch_bn_stats=self.torch_bn_stats,
                         compute_dtype=self.compute_dtype,
                         name=f"encoder1_conv{j + 1}",
                     )(xp, train)
@@ -309,6 +336,7 @@ class Encoder(nn.Module):
                     batch_norm=self.batch_norm,
                     heinit=self.heinit,
                     bn_pallas=self.bn_pallas,
+                    torch_bn_stats=self.torch_bn_stats,
                     compute_dtype=self.compute_dtype,
                     name=f"encoder{i + 1}_conv{j + 1}",
                 )(x, train)
@@ -440,6 +468,9 @@ class Decoder(nn.Module):
     # it would only add MXU work (profiles/README.md r2_trace_packed)
     packed_level1: bool = False
     bn_pallas: bool = False
+    # torch-exact running-variance update (n/(n-1) factor); see
+    # _TwinBatchNorm.unbiased — default matches the reference
+    torch_bn_stats: bool = True
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -466,6 +497,7 @@ class Decoder(nn.Module):
                         dropout=self.drop and j == 0,
                         heinit=self.heinit,
                         bn_pallas=self.bn_pallas,
+                        torch_bn_stats=self.torch_bn_stats,
                         compute_dtype=self.compute_dtype,
                         name=f"decoder2_2_conv{j + 1}",
                     )(x, train)
@@ -490,6 +522,7 @@ class Decoder(nn.Module):
                         dropout=self.drop and j == 0,
                         heinit=self.heinit,
                         bn_pallas=self.bn_pallas,
+                        torch_bn_stats=self.torch_bn_stats,
                         compute_dtype=self.compute_dtype,
                         name=f"decoder2_1_conv{j + 1}",
                     )(xp, train)
@@ -512,6 +545,7 @@ class Decoder(nn.Module):
                     dropout=self.drop and j == 0,
                     heinit=self.heinit,
                     bn_pallas=self.bn_pallas,
+                    torch_bn_stats=self.torch_bn_stats,
                     compute_dtype=self.compute_dtype,
                     name=f"decoder2_{i + 1}_conv{j + 1}",
                 )(x, train)
@@ -550,6 +584,9 @@ class SegmentationPointModel(nn.Module):
     # compute BN batch statistics with the Pallas single-pass kernel
     # (ops/bn_pallas.py) instead of XLA's reduce — identical semantics
     bn_pallas: bool = False
+    # torch-exact running-variance update (n/(n-1) factor); see
+    # _TwinBatchNorm.unbiased — default matches the reference
+    torch_bn_stats: bool = True
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -575,6 +612,7 @@ class SegmentationPointModel(nn.Module):
             packed_level0=self.packed_level0,
             packed_level1=packed_l1,
             bn_pallas=self.bn_pallas,
+            torch_bn_stats=self.torch_bn_stats,
             compute_dtype=self.compute_dtype,
             name="encoder",
         )(x, train)
@@ -617,6 +655,7 @@ class SegmentationPointModel(nn.Module):
             packed_level0=self.packed_level0,
             packed_level1=packed_l1,
             bn_pallas=self.bn_pallas,
+            torch_bn_stats=self.torch_bn_stats,
             compute_dtype=self.compute_dtype,
             name="decoder",
         )(bott, skips, train)

@@ -65,14 +65,24 @@ def _stats_jnp(x2d):
 
 
 def _tpu_kernel_viable() -> bool:
-    """Pallas TPU kernels compile on accelerator backends, or on CPU only
-    under ``pltpu.force_tpu_interpret_mode`` (the test harness)."""
-    if jax.default_backend() != "cpu":
+    """The Pallas TPU kernel compiles only on a real TPU backend, or anywhere
+    under ``pltpu.force_tpu_interpret_mode`` (the test harness). Any other
+    backend (CPU, GPU — whose pallas dialect can't lower ``pltpu.VMEM``
+    specs) falls back to the jnp path."""
+    if jax.default_backend() == "tpu":
         return True
+    ctx = _interpret_mode_ctx()
+    return ctx is not None and ctx.value is not None
+
+
+def _interpret_mode_ctx():
+    """The (private, version-fragile) jax config handle for TPU interpret
+    mode. tests/test_bn_pallas.py asserts this resolves, so a jax upgrade
+    that renames it fails loudly instead of silently disabling the kernel's
+    interpret-mode test coverage."""
     from jax._src import config as jax_config
 
-    ctx = getattr(jax_config, "pallas_tpu_interpret_mode_context_manager", None)
-    return ctx is not None and ctx.value is not None
+    return getattr(jax_config, "pallas_tpu_interpret_mode_context_manager", None)
 
 
 def _stats_fwd_impl(x2d):

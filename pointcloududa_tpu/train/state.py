@@ -74,6 +74,18 @@ def build_models(cfg: UDAConfig):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     # "auto" kept as an alias of the measured in-step winner (see config.py)
     bn_pallas = cfg.bn_stats_impl == "pallas"
+    if bn_pallas:
+        # the Pallas stats kernel is opaque to GSPMD: on a batch-sharded
+        # input the partitioner cannot propagate a sharding through the
+        # pallas_call (verified: tests/test_bn_pallas.py mesh test), so the
+        # opt-in is single-chip only — fail at build time, not mid-training
+        n_dev = cfg.num_devices if cfg.num_devices else jax.device_count()
+        if n_dev > 1:
+            raise ValueError(
+                "bn_stats_impl='pallas' is single-chip only (the kernel does "
+                f"not partition under a {n_dev}-device mesh); use the default "
+                "'xla' impl — it is also the measured in-step winner"
+            )
     gen = SegmentationPointModel(
         filters=cfg.filters,
         in_channels=cfg.in_channels,
@@ -89,6 +101,7 @@ def build_models(cfg: UDAConfig):
         packed_level0=cfg.packed_level0,
         packed_level1=cfg.packed_level1,
         bn_pallas=bn_pallas,
+        torch_bn_stats=cfg.torch_bn_stats,
         compute_dtype=dtype,
     )
     if cfg.packed_compute and not cfg.packed_level0:

@@ -77,6 +77,78 @@ def test_non_divisible_rows_fall_back():
     np.testing.assert_allclose(q, q_ref, atol=1e-5)
 
 
+def test_interpret_mode_handle_still_exists():
+    """_tpu_kernel_viable leans on a private jax config attribute to detect
+    interpret mode; if a jax upgrade renames it, the kernel's interpret-mode
+    test coverage would silently vanish — fail loudly instead."""
+    assert bn_pallas._interpret_mode_ctx() is not None, (
+        "jax._src.config.pallas_tpu_interpret_mode_context_manager is gone; "
+        "update ops/bn_pallas.py for this jax version"
+    )
+
+
+def test_twin_bn_unbiased_matches_torch():
+    """The torch-exact running-variance update (unbiased n/(n-1) batch
+    variance, PARITY.md former deviation 0) vs torch.nn.BatchNorm2d."""
+    import torch
+
+    from pointcloududa_tpu.models.unet import _TwinBatchNorm
+
+    x = np.random.RandomState(7).randn(4, 6, 6, 16).astype(np.float32)
+    tbn = torch.nn.BatchNorm2d(16, momentum=0.1, eps=1e-5)
+    tbn.weight.data.uniform_(0.5, 1.5)
+    tbn.bias.data.normal_(0.0, 0.3)
+    tbn.running_mean.normal_(0.0, 0.3)
+    tbn.running_var.uniform_(0.5, 1.5)
+    m = _TwinBatchNorm(unbiased=True)
+    # .copy(): jnp.asarray can zero-copy CPU numpy views, and torch mutates
+    # the running buffers in place during the train-mode forward below
+    variables = {
+        "params": {
+            "scale": jnp.asarray(tbn.weight.detach().numpy().copy()),
+            "bias": jnp.asarray(tbn.bias.detach().numpy().copy()),
+        },
+        "batch_stats": {
+            "mean": jnp.asarray(tbn.running_mean.numpy().copy()),
+            "var": jnp.asarray(tbn.running_var.numpy().copy()),
+        },
+    }
+    tbn.train()
+    ref = tbn(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    out, mut = m.apply(
+        variables, jnp.asarray(x), use_running_average=False, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(ref.detach().numpy(), (0, 2, 3, 1)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["mean"]), tbn.running_mean.numpy(), atol=1e-6
+    )
+    # fp-tolerance agreement of the running variance — the whole point of
+    # the unbiased flag (biased update would be off by ~var/(n-1) ~ 7e-3
+    # at n=144, two orders of magnitude above this tolerance)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["var"]), tbn.running_var.numpy(), atol=5e-5
+    )
+
+
+def test_pallas_bn_impl_rejected_on_mesh():
+    """bn_stats_impl='pallas' cannot partition under a data mesh (the
+    pallas_call is opaque to GSPMD — verified: an 8-device batch-sharded
+    run RET_CHECK-fails inside the SPMD partitioner). build_models must
+    reject the combination at build time instead of mid-training."""
+    from pointcloududa_tpu.config import mscmrseg_default
+    from pointcloududa_tpu.train.state import build_models
+
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device backend")
+    cfg = mscmrseg_default(bn_stats_impl="pallas")  # num_devices=0 -> all
+    with pytest.raises(ValueError, match="single-chip"):
+        build_models(cfg)
+    # explicit single-chip opt-in still builds
+    build_models(mscmrseg_default(bn_stats_impl="pallas", num_devices=1))
+
+
 def test_model_equivalent_with_pallas_bn():
     """bn_stats_impl is a pure execution choice: same logits, same running
     stats as the flax BatchNorm path (both packed and standard layouts)."""

@@ -318,12 +318,11 @@ def test_generator_train_mode_matches_reference(torch_nets, packed):
         else:
             raise AssertionError(dst)
         key = "running_mean" if path[-1] == "mean" else "running_var"
-        # running_var tolerance is looser for two quantified reasons:
-        # torch feeds the UNBIASED variance into the running update
-        # (factor n/(n-1), ~5e-5 relative at n=2*96*96) and flax's
-        # fast-variance E[x^2]-E[x]^2 carries f32 cancellation noise
-        # (~1e-4 relative). A wrong momentum or stats axis would be O(0.1).
-        atol = 1e-4 if key == "running_mean" else 1e-3
+        # torch_bn_stats (default): the running update feeds the UNBIASED
+        # n/(n-1) variance exactly like torch, so both buffers agree at fp
+        # tolerance; the residual is the fast-variance E[x^2]-E[x]^2 f32
+        # cancellation noise. A wrong momentum or stats axis would be O(0.1).
+        atol = 1e-4 if key == "running_mean" else 3e-4
         np.testing.assert_allclose(
             np.asarray(v), sd_after[f"{src}.{key}"].numpy(), atol=atol,
             err_msg=str(path),
