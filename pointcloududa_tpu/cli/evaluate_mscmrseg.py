@@ -63,6 +63,7 @@ def main(argv=None):
         ifhd=bool(args.ifhd),
         ifasd=bool(args.ifasd),
         pat_id_range=(args.pat_lo, args.pat_hi),
+        crop_size=cfg.crop_size,
         klc=args.klc,
         per_patient_csv=args.csv or None,
         plot_dir=args.toplot or None,
