@@ -24,22 +24,25 @@ import numpy as np
 
 
 def match_histograms_single(image: np.ndarray, reference: np.ndarray) -> np.ndarray:
-    """Per-channel histogram matching (skimage ``match_histograms``
-    equivalent, which the reference imports at
-    ``data_generator_mmwhs.py:9``): maps each channel's empirical CDF onto
-    the reference channel's quantiles."""
+    """Per-channel histogram matching — EXACT reimplementation of skimage's
+    ``match_histograms`` / ``_match_cumulative_cdf`` (which the reference
+    imports at ``data_generator_mmwhs.py:9``): per channel, each unique
+    source value's cumulative quantile (``cumsum(counts)/size``) is
+    interpolated into the template's (quantile -> value) staircase, so tied
+    source pixels map to one output value. Pinned by hand-derived goldens
+    (``tests/test_data.py::test_match_histograms_goldens``)."""
     out = np.empty_like(image, dtype=np.float64)
     for c in range(image.shape[-1]):
         src = image[..., c].ravel()
         ref = reference[..., c].ravel()
-        src_sorted_idx = np.argsort(src, kind="stable")
-        ref_sorted = np.sort(ref)
-        # quantile positions of each source pixel
-        q = (np.arange(len(src)) + 0.5) / len(src)
-        ref_q = np.interp(q, (np.arange(len(ref)) + 0.5) / len(ref), ref_sorted)
-        matched = np.empty_like(src, dtype=np.float64)
-        matched[src_sorted_idx] = ref_q
-        out[..., c] = matched.reshape(image.shape[:-1])
+        src_values, src_inverse, src_counts = np.unique(
+            src, return_inverse=True, return_counts=True
+        )
+        tmpl_values, tmpl_counts = np.unique(ref, return_counts=True)
+        src_quantiles = np.cumsum(src_counts) / src.size
+        tmpl_quantiles = np.cumsum(tmpl_counts) / ref.size
+        interp = np.interp(src_quantiles, tmpl_quantiles, tmpl_values)
+        out[..., c] = interp[src_inverse].reshape(image.shape[:-1])
     return out
 
 

@@ -175,3 +175,35 @@ def test_match_histograms_moments():
         np.argsort(img[..., c].ravel(), kind="stable"),
         np.argsort(out[..., c].ravel(), kind="stable"),
     )
+
+
+def test_match_histograms_goldens():
+    """Hand-derived expected outputs of skimage's _match_cumulative_cdf
+    algorithm (the function the reference imports,
+    ``src/data_generator_mmwhs.py:9``) — exact value pins, including tie
+    handling and the out-of-range quantile clamp, replacing the r2
+    moments/rank-order approximation note (TODO.md)."""
+    from pointcloududa_tpu.data.mmwhs import match_histograms_single
+
+    def m(src, ref):
+        out = match_histograms_single(
+            np.asarray(src, np.float64).reshape(-1, 1, 1),
+            np.asarray(ref, np.float64).reshape(-1, 1, 1),
+        )
+        return out.ravel()
+
+    # src quantiles [.25,.75,1]; tmpl staircase (.25,10)(.5,20)(.75,30)(1,40)
+    # -> interp: .25->10, .75->30, 1->40; tied 1s map to ONE value (30)
+    np.testing.assert_allclose(m([0, 1, 1, 2], [10, 20, 30, 40]), [10, 30, 30, 40])
+    # src quantiles [2/3, 1]; tmpl (0.5,1)(1,2) -> 2/3 -> 1+(1/6)/(1/2)=4/3
+    np.testing.assert_allclose(m([5, 5, 7], [1, 2]), [4 / 3, 4 / 3, 2.0])
+    # quantile below the tmpl staircase clamps to the tmpl minimum
+    np.testing.assert_allclose(m([0.5, 1.5], [3, 3, 9]), [3.0, 9.0])
+    # constant source maps wholly to the tmpl maximum (quantile 1.0)
+    np.testing.assert_allclose(m([7, 7, 7], [1, 2, 3]), [3.0, 3.0, 3.0])
+    # channels are matched independently
+    src = np.stack([np.asarray([0.0, 1, 1, 2]), np.asarray([2.0, 1, 1, 0])], -1)
+    ref = np.stack([np.asarray([10.0, 20, 30, 40]), np.asarray([-1.0, -2, -3, -4])], -1)
+    out = match_histograms_single(src.reshape(2, 2, 2), ref.reshape(2, 2, 2))
+    np.testing.assert_allclose(out[..., 0].ravel(), [10, 30, 30, 40])
+    np.testing.assert_allclose(out[..., 1].ravel(), [-1, -2, -2, -4])
