@@ -14,21 +14,31 @@ crop&pad -> sometimes affine -> ``SomeOf((0, 5))`` over FIFTEEN entries
 simplex-noise edge blend, additive gaussian noise, dropout-OneOf{pixel,
 coarse}, invert, add, hue/saturation, multiply, grayscale, elastic*,
 piecewise-affine*, perspective*; ``*`` = wrapped in ``Sometimes(0.5)``).
-Every entry and parameter range is implemented; gates are independent
-Bernoullis with p = E[SomeOf]/n_entries = 2.5/15 (x0.5 for the
-Sometimes-wrapped entries), so the expected number of active ops matches.
 
-Distribution-level (not RNG-level) parity deviations, each minor and
-documented inline: random_order application shuffling is not reproduced
-(fixed op order; all geometry composes into ONE resample — higher fidelity
-than imgaug's repeated resampling); SomeOf samples without replacement,
-gates here are independent; border handling is constant-fill with a random
-cval in [0, 255] (the reference samples among all scikit-image modes);
-simplex noise is approximated by bilinear value noise at a sampled
-granularity; directed edge detect uses the isotropic kernel; coarse-dropout
-grid granularity is fixed at ~3% of the image (imgaug samples 2-5%);
-superpixels run at <=128px internal resolution exactly like imgaug's
-``max_size=128`` but with a k-means SLIC approximation.
+Exact-sampling parity (r3): ``SomeOf((0, 5))`` draws k ~ U{0..5} and
+selects exactly k of the n entries WITHOUT replacement (a rank draw), like
+imgaug — not independent Bernoullis; borders sample among ALL five
+scikit-image modes (constant/edge/symmetric/reflect/wrap) with cval ~
+U(0, 255), per ``mode=ia.ALL``/``pad_mode=ia.ALL``; the affine image
+resample order is sampled from {nearest, bilinear} (``order=[0, 1]``); the
+simplex alpha mask is gradient (Perlin) noise at imgaug's sampled
+``size_px_max (2, 16)`` granularity with linear/nearest upscale,
+1-3 max-aggregated octave draws and sigmoid shaping; coarse-dropout grid
+granularity is sampled per-application from ``size_percent (0.02, 0.05)``.
+``random_order=True`` (both the outer Sequential and the SomeOf) is
+realised per-sample at zero cost by compiling two static variants —
+geometry-first/forward-SomeOf and intensity-first/reversed-SomeOf — and
+assigning each half of the (already shuffled) batch to one.
+
+Remaining distribution-level deviations, each minor and documented inline:
+all geometry still composes into ONE resample (higher fidelity than
+imgaug's repeated resampling, but per-op border/order settings merge into
+the composite's); only two of the k! SomeOf application orders are
+realised; the Perlin basis stands in for OpenSimplex and the sigmoid
+shaping constants are best-effort (imgaug is not installable in this
+environment — see TODO.md); directed edge detect uses the isotropic
+kernel; superpixels run at <=128px internal resolution exactly like
+imgaug's ``max_size=128`` but with a k-means SLIC approximation.
 
 Masks are warped with nearest-neighbour sampling and never receive
 intensity ops — same contract as ``seq(images=..., segmentation_maps=...)``.
@@ -53,6 +63,14 @@ class AugmentConfig:
     croppad_prob: float = 0.5
     croppad: Tuple[float, float] = (-0.05, 0.1)
     affine_prob: float = 0.5
+    # exact iaa.SomeOf((0, 5)) without-replacement draw over the first
+    # ``someof_n`` entries (15 heavy, 12 medium — the medium pipeline's
+    # SomeOf list is exactly the first 12 entries, reference
+    # data_generator_mscmrseg.py:95-129). 0 = independent per-entry gates
+    # (the legacy/test mode using the *_prob / intensity_gate fields below).
+    someof_n: int = 15
+    someof_count: Tuple[int, int] = (0, 5)
+    sometimes_p: float = 0.5  # the Sometimes(0.5) wrap on entries {0,12,13,14}
     scale: Tuple[float, float] = (0.8, 1.2)
     translate: Tuple[float, float] = (-0.2, 0.2)
     rotate: Tuple[float, float] = (-45.0, 45.0)
@@ -103,6 +121,7 @@ def medium() -> AugmentConfig:
         fliplr=0.0,
         flipud=0.0,
         affine_prob=0.0,
+        someof_n=12,
         intensity_gate=g,
         superpixels_prob=0.5 * g,
         elastic_prob=0.0,
@@ -122,6 +141,7 @@ def light() -> AugmentConfig:
         translate=(-0.1, 0.1),
         rotate=(-10.0, 10.0),
         shear=(-12.0, 12.0),
+        someof_n=0,
         intensity_gate=0.0,
         superpixels_prob=0.0,
         elastic_prob=0.0,
@@ -131,6 +151,28 @@ def light() -> AugmentConfig:
     )
 
 
+def someof_active(key, cfg: AugmentConfig):
+    """Exact ``iaa.SomeOf((0, 5), ..., random_order=True)`` entry draw.
+
+    k ~ U{count}, then exactly k of the ``someof_n`` entries selected
+    WITHOUT replacement (uniform rank draw); the Sometimes(0.5)-wrapped
+    entries (0 superpixels, 12 elastic, 13 piecewise, 14 perspective) are
+    additionally thinned by an independent coin, exactly as imgaug resolves
+    a selected ``Sometimes`` child. Returns a (15,) bool vector (entries
+    beyond ``someof_n`` are False). None when ``someof_n == 0``.
+    """
+    if cfg.someof_n <= 0:
+        return None
+    ka, kb, kc = jax.random.split(key, 3)
+    k = jax.random.randint(ka, (), cfg.someof_count[0], cfg.someof_count[1] + 1)
+    scores = jax.random.uniform(kb, (cfg.someof_n,))
+    ranks = jnp.argsort(jnp.argsort(scores))
+    active = jnp.zeros((15,), bool).at[: cfg.someof_n].set(ranks < k)
+    wrapped = jnp.array([0, 12, 13, 14])
+    coin = jax.random.uniform(kc, (4,)) < cfg.sometimes_p
+    return active.at[wrapped].set(active[wrapped] & coin)
+
+
 def _u(key, lo_hi, shape=()):
     return jax.random.uniform(key, shape, minval=lo_hi[0], maxval=lo_hi[1])
 
@@ -138,10 +180,19 @@ def _u(key, lo_hi, shape=()):
 # --------------------------------------------------------------------- #
 # geometry: ONE projective warp per image (affine o perspective), plus an
 # additive displacement field (elastic + piecewise-affine)
-def _affine_inverse(key, cfg: AugmentConfig, h: int, w: int):
+def _affine_inverse(key, cfg: AugmentConfig, h: int, w: int, cp_after: bool = False):
     """3x3 homogeneous inverse map (output (y,x,1) -> input) for
-    flips-excluded geometry: crop&pad + affine (iaa ranges)."""
-    ks = jax.random.split(key, 8)
+    flips-excluded geometry: crop&pad + affine (iaa ranges).
+
+    ``cp_after``: compose CropAndPad AFTER Affine (the outer Sequential's
+    ``random_order=True`` — the isotropic crop/pad scale commutes with the
+    linear part exactly, so the order only rescales the translation).
+    Also returns ``(any_warp, snap_nearest)``: whether either op fired (the
+    border mode/cval sampling applies only then — other composite members
+    default to constant-0), and the iaa.Affine ``order=[0, 1]`` draw
+    (nearest-neighbour image resample half the time the affine fires).
+    """
+    ks = jax.random.split(key, 9)
     gate_aff = jax.random.uniform(ks[0]) < cfg.affine_prob
     gate_cp = jax.random.uniform(ks[1]) < cfg.croppad_prob
 
@@ -155,6 +206,9 @@ def _affine_inverse(key, cfg: AugmentConfig, h: int, w: int):
     theta = jnp.deg2rad(jnp.where(gate_aff, _u(ks[5], cfg.rotate), 0.0))
     shear = jnp.deg2rad(jnp.where(gate_aff, _u(ks[6], cfg.shear), 0.0))
     t = jnp.where(gate_aff, _u(ks[7], cfg.translate, (2,)), jnp.zeros(2))
+    if cp_after:
+        # crop/pad applied after the affine rescales its translation too
+        t = t / (1.0 + cp)
     ty, tx = t[0] * h, t[1] * w
 
     cos, sin = jnp.cos(theta), jnp.sin(theta)
@@ -169,21 +223,25 @@ def _affine_inverse(key, cfg: AugmentConfig, h: int, w: int):
     shift = c + jnp.array([ty, tx])
     # input = inv @ (out - shift) + c, as one homogeneous matrix
     trans = c - inv @ shift
-    return jnp.array(
+    M = jnp.array(
         [
             [inv[0, 0], inv[0, 1], trans[0]],
             [inv[1, 0], inv[1, 1], trans[1]],
             [0.0, 0.0, 1.0],
         ]
     )
+    snap = gate_aff & (jax.random.uniform(ks[8]) < 0.5)
+    return M, gate_aff | gate_cp, snap
 
 
-def _perspective_inverse(key, cfg: AugmentConfig, h: int, w: int):
+def _perspective_inverse(key, cfg: AugmentConfig, h: int, w: int, gate=None):
     """iaa.PerspectiveTransform: corners jittered by N(0, s)·size
     (s ~ U(scale)); the inverse map is the homography sending output corners
-    to the jittered input corners (DLT on 4 points)."""
+    to the jittered input corners (DLT on 4 points). ``gate``: traced bool
+    from the SomeOf draw; None = legacy self-sampled Bernoulli."""
     ks = jax.random.split(key, 3)
-    gate = jax.random.uniform(ks[0]) < cfg.perspective_prob
+    if gate is None:
+        gate = jax.random.uniform(ks[0]) < cfg.perspective_prob
     s = _u(ks[1], cfg.perspective_scale)
     jit = jax.random.normal(ks[2], (4, 2)) * s * jnp.array([h, w], jnp.float32)
     jit = jnp.where(gate, jit, jnp.zeros((4, 2)))
@@ -206,15 +264,40 @@ def _perspective_inverse(key, cfg: AugmentConfig, h: int, w: int):
     return jnp.concatenate([hvec, jnp.ones(1)]).reshape(3, 3)
 
 
-def _warp_one(img, M, disp, order: int, cval):
+def _border_fold(i, n, mode):
+    """Map an out-of-range integer index per skimage/np.pad border mode.
+
+    mode (traced): 0 constant (clip; caller overrides with the fill value),
+    1 edge, 2 symmetric (abccba), 3 reflect (abcba), 4 wrap.
+    """
+    edge = jnp.clip(i, 0, n - 1)
+    m2 = jnp.mod(i, 2 * n)
+    symmetric = jnp.where(m2 < n, m2, 2 * n - 1 - m2)
+    period = max(2 * n - 2, 1)
+    m3 = jnp.mod(i, period)
+    reflect = jnp.where(m3 < n, m3, 2 * n - 2 - m3)
+    wrap = jnp.mod(i, n)
+    return jnp.select(
+        [mode == 1, mode == 2, mode == 3, mode == 4],
+        [edge, symmetric, reflect, wrap],
+        edge,
+    )
+
+
+def _warp_one(img, M, disp, order: int, cval, mode=None, snap=None):
     """Inverse projective warp of (H, W, C) + additive displacement field.
 
     All channels are fetched per bilinear tap in ONE row-gather of the
     (H*W, C) matrix — 4 gathers total (1 for nearest) instead of
     map_coordinates' 4-per-plane; gathers dominate warp cost on TPU
-    (measured 5x on the full augmentation pipeline). Out-of-bounds taps
-    contribute the traced ``cval`` (constant-pad semantics, exact for both
-    bilinear and nearest).
+    (measured 5x on the full augmentation pipeline).
+
+    ``mode`` (traced int, default constant): border handling per
+    ``ia.ALL`` — 0 constant (fill = ``cval``), 1 edge, 2 symmetric,
+    3 reflect, 4 wrap (index arithmetic only; still one gather per tap).
+    ``snap`` (traced bool): snap the sample coordinates to integers
+    (round-half-down) before the bilinear fetch — the exact order-0 result
+    through the order-1 path at zero extra cost (iaa.Affine order=[0,1]).
     """
     h, w, ch = img.shape
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -223,14 +306,22 @@ def _warp_one(img, M, disp, order: int, cval):
     dnm = jnp.where(jnp.abs(dnm) < 1e-8, 1e-8, dnm)
     iy = (M[0, 0] * yy + M[0, 1] * xx + M[0, 2]) / dnm + disp[..., 0]
     ix = (M[1, 0] * yy + M[1, 1] * xx + M[1, 2]) / dnm + disp[..., 1]
+    if snap is not None:
+        iy = jnp.where(snap, jnp.ceil(iy - 0.5), iy)
+        ix = jnp.where(snap, jnp.ceil(ix - 0.5), ix)
 
     flat = img.reshape(h * w, ch)
     fill = jnp.broadcast_to(jnp.asarray(cval, img.dtype), (ch,))
 
     def tap(yi, xi):
+        if mode is None:
+            ym, xm = jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)
+        else:
+            ym, xm = _border_fold(yi, h, mode), _border_fold(xi, w, mode)
+        vals = jnp.take(flat, (ym * w + xm).reshape(-1), axis=0).reshape(h, w, ch)
         inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take(flat, lin.reshape(-1), axis=0).reshape(h, w, ch)
+        if mode is not None:  # non-constant modes never fill
+            inside = inside | (mode != 0)
         return jnp.where(inside[..., None], vals, fill)
 
     if order == 0:
@@ -341,27 +432,77 @@ def _emboss(img, alpha, strength):
     return _conv3(img, (1.0 - alpha) * ident + alpha * eff)
 
 
+_PERLIN_G = 16  # max lattice cells across a dimension (imgaug size_px_max hi)
+
+
+def _perlin_mask(key, h: int, w: int):
+    """Gradient-noise alpha mask in [0, 1] — the imgaug SimplexNoiseAlpha
+    recipe: per draw, a noise layer at a sampled low resolution
+    (``size_px_max`` ~ U{2..16} cells across), upscaled ``linear`` (here:
+    continuous Perlin evaluation) or ``nearest`` (coords snapped to raster
+    centers) with equal probability; 1-3 draws aggregated by max
+    (``iterations=(1, 3)``, ``aggregation_method="max"``); sigmoid shaping
+    with a Normal(0, 5) threshold. Perlin (unit-gradient lattice, quintic
+    fade) stands in for OpenSimplex — same class of gradient noise,
+    different basis; constants are best-effort pending an imgaug golden A/B
+    (TODO.md)."""
+    ks = jax.random.split(key, 3)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    n_iter = jax.random.randint(ks[0], (), 1, 4)
+    side = _PERLIN_G + 2
+
+    def octave(i):
+        kk = jax.random.fold_in(ks[1], i)
+        k1, k2, k3 = jax.random.split(kk, 3)
+        g = jax.random.randint(k1, (), 2, _PERLIN_G + 1).astype(jnp.float32)
+        nearest = jax.random.uniform(k2) < 0.5
+        u = yy * (g / h)
+        v = xx * (g / w)
+        u = jnp.where(nearest, jnp.floor(u) + 0.5, u)
+        v = jnp.where(nearest, jnp.floor(v) + 0.5, v)
+        theta = jax.random.uniform(k3, (side, side), maxval=2.0 * jnp.pi)
+        i0 = jnp.floor(u)
+        j0 = jnp.floor(v)
+        fu = u - i0
+        fv = v - j0
+        i0 = i0.astype(jnp.int32)
+        j0 = j0.astype(jnp.int32)
+
+        def grad_dot(di, dj):
+            th = jnp.take(theta.reshape(-1), (i0 + di) * side + (j0 + dj))
+            return jnp.sin(th) * (fu - di) + jnp.cos(th) * (fv - dj)
+
+        def fade(t):
+            return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+        wu, wv = fade(fu), fade(fv)
+        n0 = grad_dot(0, 0) * (1 - wv) + grad_dot(0, 1) * wv
+        n1 = grad_dot(1, 0) * (1 - wv) + grad_dot(1, 1) * wv
+        val = n0 * (1 - wu) + n1 * wu  # ~[-0.707, 0.707]
+        return jnp.clip(0.5 + val * (0.5 / 0.70710678), 0.0, 1.0)
+
+    mask = jnp.zeros((h, w), jnp.float32)
+    for i in range(3):
+        mask = jnp.maximum(mask, jnp.where(i < n_iter, octave(i), 0.0))
+    thresh = jax.random.normal(ks[2]) * 5.0
+    return jax.nn.sigmoid(20.0 * (mask - 0.5) + thresh)
+
+
 def _simplex_edge(key, img, cfg: AugmentConfig):
     """iaa.SimplexNoiseAlpha(OneOf(EdgeDetect, DirectedEdgeDetect)).
 
     Edge response: laplacian kernel blended by alpha ~ U(0.5, 1) (the
     directed variant is approximated by the same isotropic kernel). The
-    simplex alpha mask is approximated by bilinear value noise whose
-    granularity is sampled among ~{4, 8, 16}px cells (imgaug size_px_max
-    (2, 16))."""
+    alpha mask is gradient (Perlin) noise at imgaug's sampled granularity
+    with max-aggregated draws and sigmoid shaping (:func:`_perlin_mask`)."""
     h, w, _ = img.shape
-    ks = jax.random.split(key, 4)
+    ks = jax.random.split(key, 2)
     alpha = _u(ks[0], cfg.edge_alpha)
     lap = jnp.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
     ident = jnp.zeros((3, 3)).at[1, 1].set(1.0)
     edged = jnp.clip(_conv3(img, (1.0 - alpha) * ident + alpha * lap), 0.0, 255.0)
-    masks = []
-    for cell in (4, 8, 16):
-        gh, gw = max(2, h // cell), max(2, w // cell)
-        g = jax.random.uniform(jax.random.fold_in(ks[1], cell), (gh, gw, 1))
-        masks.append(jax.image.resize(g, (h, w, 1), "linear"))
-    choice = jax.random.randint(ks[2], (), 0, 3)
-    mask = jnp.select([choice == 0, choice == 1], masks[:2], masks[2])
+    mask = _perlin_mask(ks[1], h, w)[..., None]
     return mask * edged + (1.0 - mask) * img
 
 
@@ -480,28 +621,44 @@ def _superpixels(key, img, cfg: AugmentConfig):
     return jnp.where(rep[seg_img][..., None], mean_col[seg_img], img)
 
 
-def _intensity_ops(key, img, cfg: AugmentConfig):
+def _intensity_ops(key, img, cfg: AugmentConfig, active=None, reverse: bool = False):
     """The SomeOf((0,5)) family on one (H, W, C) float image in [0, 255].
 
-    Entries fire independently with p = intensity_gate (expectation matches
-    the reference's SomeOf draw); gates with a STATIC probability of 0 are
-    skipped at trace time so light/medium pipelines never pay for ops they
-    cannot apply.
+    ``active``: (15,) bool vector from :func:`someof_active` — the exact
+    without-replacement SomeOf draw (entries 0..11 belong here; 12..14 are
+    the in-SomeOf geometry ops, consumed by the caller's warp). With
+    ``active=None`` (legacy/test mode) entries fire independently with
+    p = ``intensity_gate`` and the ``*_prob`` fields; a STATIC probability
+    of 0 skips the op at trace time so light pipelines never pay for it.
+
+    ``reverse``: apply the entries in reversed list order — one of the two
+    compiled order variants realising imgaug's ``random_order=True``
+    (assigned per half-batch by :func:`make_augment_fn`).
     """
     h, w, c = img.shape
     ks = jax.random.split(key, 40)
     g = cfg.intensity_gate
 
-    def gated(i, fn, img, prob=None):
-        p = g if prob is None else prob
-        if p <= 0.0:  # static short-circuit
+    def gate(i, entry, prob):
+        if active is not None:
+            return active[entry]
+        if prob <= 0.0:
+            return None  # static skip
+        return jax.random.uniform(ks[i]) < prob
+
+    def gated(i, entry, fn, img, prob=None):
+        on = gate(i, entry, g if prob is None else prob)
+        if on is None:
             return img
-        return jnp.where(jax.random.uniform(ks[i]) < p, fn(img), img)
+        return jnp.where(on, fn(img), img)
 
-    # 1. superpixels (Sometimes-wrapped)
-    img = gated(0, lambda im: _superpixels(ks[20], im, cfg), img, prob=cfg.superpixels_prob)
+    # entry 0: superpixels (Sometimes-wrapped)
+    def superpixels(img):
+        return gated(
+            0, 0, lambda im: _superpixels(ks[20], im, cfg), img, prob=cfg.superpixels_prob
+        )
 
-    # 2. blur OneOf {gaussian, average, median}
+    # entry 1: blur OneOf {gaussian, average, median}
     def blur_family(im):
         gsn = _gaussian_blur(im, _u(ks[21], cfg.blur_sigma))
         avg = _avg_blur(im, jax.random.randint(ks[22], (), cfg.avg_blur_k[0], cfg.avg_blur_k[1] + 1))
@@ -513,23 +670,7 @@ def _intensity_ops(key, img, cfg: AugmentConfig):
         choice = jax.random.randint(ks[24], (), 0, 3)
         return jnp.select([choice == 0, choice == 1], [gsn, avg], med)
 
-    img = gated(1, blur_family, img)
-    # 3. sharpen (alpha, lightness)
-    img = gated(
-        2,
-        lambda im: _sharpen(im, _u(ks[25], cfg.sharpen_alpha), _u(ks[26], cfg.sharpen_lightness)),
-        img,
-    )
-    # 4. emboss
-    img = gated(
-        3,
-        lambda im: _emboss(im, _u(ks[27], cfg.emboss_alpha), _u(ks[28], cfg.emboss_strength)),
-        img,
-    )
-    # 5. simplex-noise edge blend
-    img = gated(4, lambda im: _simplex_edge(ks[29], im, cfg), img)
-
-    # 6. additive gaussian noise (per-channel half the time)
+    # entry 5: additive gaussian noise (per-channel half the time)
     def noise(im):
         scale = _u(ks[12], cfg.noise_scale)
         per_c = jax.random.uniform(ks[13]) < 0.5
@@ -537,9 +678,7 @@ def _intensity_ops(key, img, cfg: AugmentConfig):
         n_sh = jax.random.normal(ks[14], im.shape[:2] + (1,)) * scale
         return im + jnp.where(per_c, n_pc, jnp.broadcast_to(n_sh, im.shape))
 
-    img = gated(5, noise, img)
-
-    # 7. dropout OneOf {pixel (per_channel 0.5), coarse (per_channel 0.2)}
+    # entry 6: dropout OneOf {pixel (pc 0.5), coarse (pc 0.2)}
     def dropout_family(im):
         p = _u(ks[15], cfg.dropout)
         pc1 = jax.random.uniform(ks[30]) < 0.5
@@ -547,50 +686,75 @@ def _intensity_ops(key, img, cfg: AugmentConfig):
         keep_sh = (jax.random.uniform(ks[16], im.shape[:2] + (1,)) >= p).astype(im.dtype)
         fine = im * jnp.where(pc1, keep_pc, jnp.broadcast_to(keep_sh, im.shape))
 
+        # iaa.CoarseDropout(size_percent=(0.02, 0.05)): the keep-mask's
+        # low resolution is SAMPLED per application. Static max raster
+        # (5% of the image); the sampled granularity g indexes it through
+        # floor(y*g/h) — per-cell Bernoulli at the drawn resolution.
         p2 = _u(ks[17], cfg.coarse_dropout)
-        gh = max(2, int(0.03 * h))
-        gw = max(2, int(0.03 * w))
+        gmax = max(2, int(cfg.coarse_size[1] * h) + 1), max(2, int(cfg.coarse_size[1] * w) + 1)
+        gh = jnp.round(_u(ks[38], cfg.coarse_size) * h)
+        gw = jnp.round(_u(ks[38], cfg.coarse_size) * w)  # same draw: square cells
+        gh = jnp.clip(gh, 2, gmax[0]).astype(jnp.int32)
+        gw = jnp.clip(gw, 2, gmax[1]).astype(jnp.int32)
         pc2 = jax.random.uniform(ks[31]) < 0.2
-        kc_pc = (jax.random.uniform(ks[18], (gh, gw, c)) >= p2).astype(im.dtype)
-        kc_sh = (jax.random.uniform(ks[18], (gh, gw, 1)) >= p2).astype(im.dtype)
-        kmask = jnp.where(pc2, kc_pc, jnp.broadcast_to(kc_sh, (gh, gw, c)))
-        coarse = im * jax.image.resize(kmask, (h, w, c), "nearest")
+        u_pc = jax.random.uniform(ks[18], (*gmax, c))
+        u_sh = jnp.broadcast_to(jax.random.uniform(ks[18], (*gmax, 1)), (*gmax, c))
+        u = jnp.where(pc2, u_pc, u_sh)
+        iy = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * gh / h).astype(jnp.int32)
+        ix = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * gw / w).astype(jnp.int32)
+        kmask = (u >= p2).astype(im.dtype)[iy, ix]
+        coarse = im * kmask
         return jnp.where(jax.random.uniform(ks[32]) < 0.5, fine, coarse)
 
-    img = gated(6, dropout_family, img)
-
-    # 8. invert (per-channel Bernoulli(invert_prob) when the entry fires)
+    # entry 7: invert (per-channel Bernoulli(invert_prob) when it fires)
     def invert(im):
         inv_ch = jax.random.uniform(ks[33], (c,)) < cfg.invert_prob
         return jnp.where(inv_ch, 255.0 - im, im)
 
-    img = gated(7, invert, img, prob=(g if cfg.invert_prob > 0 else 0.0))
-
-    # 9. add (per_channel 0.5)
+    # entry 8: add (per_channel 0.5)
     def add_op(im):
         pc = jax.random.uniform(ks[34]) < 0.5
         v_pc = _u(ks[19], cfg.add, (c,))
         v_sh = jnp.broadcast_to(_u(ks[19], cfg.add), (c,))
         return im + jnp.where(pc, v_pc, v_sh)
 
-    img = gated(8, add_op, img)
-    # 10. hue / saturation
-    if c == 3:
-        img = gated(9, lambda im: _add_hue_sat(ks[35], im, cfg.hue_sat), img)
-    # 11. multiply (per_channel 0.5)
+    # entry 10: multiply (per_channel 0.5)
     def mul_op(im):
         pc = jax.random.uniform(ks[36]) < 0.5
         v_pc = _u(ks[9], cfg.multiply, (c,))
         v_sh = jnp.broadcast_to(_u(ks[9], cfg.multiply), (c,))
         return im * jnp.where(pc, v_pc, v_sh)
 
-    img = gated(10, mul_op, img)
-    # 12. grayscale mix
-    img = gated(
-        11,
-        lambda im: im + _u(ks[37], cfg.grayscale_alpha) * (jnp.mean(im, -1, keepdims=True) - im),
-        img,
-    )
+    entries = [
+        superpixels,
+        lambda im: gated(1, 1, blur_family, im),
+        lambda im: gated(
+            2, 2,
+            lambda x: _sharpen(x, _u(ks[25], cfg.sharpen_alpha), _u(ks[26], cfg.sharpen_lightness)),
+            im,
+        ),
+        lambda im: gated(
+            3, 3,
+            lambda x: _emboss(x, _u(ks[27], cfg.emboss_alpha), _u(ks[28], cfg.emboss_strength)),
+            im,
+        ),
+        lambda im: gated(4, 4, lambda x: _simplex_edge(ks[29], x, cfg), im),
+        lambda im: gated(5, 5, noise, im),
+        lambda im: gated(6, 6, dropout_family, im),
+        lambda im: gated(7, 7, invert, im, prob=(g if cfg.invert_prob > 0 else 0.0)),
+        lambda im: gated(8, 8, add_op, im),
+        (lambda im: gated(9, 9, lambda x: _add_hue_sat(ks[35], x, cfg.hue_sat), im))
+        if c == 3
+        else (lambda im: im),
+        lambda im: gated(10, 10, mul_op, im),
+        lambda im: gated(
+            11, 11,
+            lambda x: x + _u(ks[37], cfg.grayscale_alpha) * (jnp.mean(x, -1, keepdims=True) - x),
+            im,
+        ),
+    ]
+    for fn in reversed(entries) if reverse else entries:
+        img = fn(img)
     return jnp.clip(img, 0.0, 255.0)
 
 
@@ -601,12 +765,27 @@ def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
     ``masks``: (B, H, W) integer labels (or None).
     Returns float32 images in [0, 255] (normalisation stays downstream,
     matching the reference's order of operations) and int32 masks.
+
+    ``random_order=True`` (outer Sequential AND SomeOf,
+    ``data_generator_mscmrseg.py:80-83``) is realised by compiling two
+    static variants — (geometry -> intensity, forward SomeOf order) and
+    (intensity -> geometry, reversed SomeOf order; the outer shuffle also
+    swaps the crop&pad/affine composition) — and assigning each half of
+    the batch to one. The batch order is already uniformly shuffled by the
+    sampler, so the variant assignment is independent of content; this
+    captures the order distribution's first-order effects at zero runtime
+    cost (only 2 of the k! orders are realised — documented deviation).
     """
 
-    def one(key, img, mask):
+    def one(key, img, mask, variant: int):
         h, w = img.shape[:2]
-        ks = jax.random.split(key, 10)
+        ks = jax.random.split(key, 12)
         img = img.astype(jnp.float32)
+        active = someof_active(ks[10], cfg)
+        intensity_first = variant == 1
+
+        if intensity_first:
+            img = _intensity_ops(jax.random.fold_in(key, 7), img, cfg, active, reverse=True)
 
         flip_lr = jax.random.uniform(ks[0]) < cfg.fliplr
         flip_ud = jax.random.uniform(ks[1]) < cfg.flipud
@@ -616,41 +795,63 @@ def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
             mask = jnp.where(flip_lr, mask[:, ::-1], mask)
             mask = jnp.where(flip_ud, mask[::-1], mask)
 
-        M = _affine_inverse(ks[2], cfg, h, w)
-        if cfg.perspective_prob > 0:
+        M, any_warp, snap = _affine_inverse(ks[2], cfg, h, w, cp_after=intensity_first)
+        persp_on = active[14] if (active is not None and cfg.someof_n > 14) else None
+        if persp_on is not None or cfg.perspective_prob > 0:
             # inverse maps compose right-to-left: perspective then affine
-            M = M @ _perspective_inverse(ks[7], cfg, h, w)
+            M = M @ _perspective_inverse(ks[7], cfg, h, w, gate=persp_on)
         disp = jnp.zeros((h, w, 2), jnp.float32)
-        if elastic_field and cfg.elastic_prob > 0:
-            on = jax.random.uniform(ks[3]) < cfg.elastic_prob
+        el_on = active[12] if (active is not None and cfg.someof_n > 12) else None
+        if elastic_field and (el_on is not None or cfg.elastic_prob > 0):
+            on = el_on if el_on is not None else jax.random.uniform(ks[3]) < cfg.elastic_prob
             alpha = _u(ks[4], cfg.elastic_alpha)
             field = jax.random.uniform(ks[5], (h, w, 2), minval=-1.0, maxval=1.0)
             disp = disp + jnp.where(on, field * alpha, jnp.zeros(()))
-        if cfg.piecewise_prob > 0:
+        pw_on = active[13] if (active is not None and cfg.someof_n > 13) else None
+        if pw_on is not None or cfg.piecewise_prob > 0:
             # iaa.PiecewiseAffine(scale=(0.01,0.05)): a coarse control grid of
             # N(0, scale*size) offsets, bilinearly upsampled (the local-affine
             # patchwork is approximated by its induced smooth field)
-            on = jax.random.uniform(ks[8]) < cfg.piecewise_prob
+            on = pw_on if pw_on is not None else jax.random.uniform(ks[8]) < cfg.piecewise_prob
             s = _u(ks[9], cfg.piecewise_scale)
             grid = jax.random.normal(jax.random.fold_in(key, 11), (4, 4, 2))
             coarse = jax.image.resize(grid, (h, w, 2), "linear")
             coarse = coarse * s * jnp.array([h, w], jnp.float32)
             disp = disp + jnp.where(on, coarse, jnp.zeros(()))
-        cval = jax.random.uniform(ks[6], minval=0.0, maxval=255.0)
-        img = _warp_one(img, M, disp, order=1, cval=cval)
+        # border mode ~ ia.ALL and cval ~ U(0,255) apply to the crop&pad/
+        # affine resample; when neither fired the composite's other members
+        # keep their imgaug defaults (constant-0 borders)
+        mode = jnp.where(any_warp, jax.random.randint(ks[11], (), 0, 5), 0)
+        cval = jnp.where(any_warp, jax.random.uniform(ks[6], minval=0.0, maxval=255.0), 0.0)
+        img = _warp_one(img, M, disp, order=1, cval=cval, mode=mode, snap=snap)
         if mask is not None:
-            m = _warp_one(mask[..., None].astype(jnp.float32), M, disp, order=0, cval=0.0)
+            m = _warp_one(
+                mask[..., None].astype(jnp.float32), M, disp, order=0, cval=0.0, mode=mode
+            )
             mask = m[..., 0].astype(jnp.int32)
 
-        img = _intensity_ops(jax.random.fold_in(key, 7), img, cfg)
+        if not intensity_first:
+            img = _intensity_ops(jax.random.fold_in(key, 7), img, cfg, active)
         return img, mask
+
+    def batch_apply(keys, images, masks):
+        half = images.shape[0] // 2
+
+        def run(variant, k, im, mk):
+            if mk is None:
+                return jax.vmap(lambda a, b: one(a, b, None, variant)[0])(k, im), None
+            return jax.vmap(lambda a, b, c: one(a, b, c, variant))(k, im, mk)
+
+        if half == 0:
+            return run(0, keys, images, masks)
+        i1, m1 = run(0, keys[:half], images[:half], None if masks is None else masks[:half])
+        i2, m2 = run(1, keys[half:], images[half:], None if masks is None else masks[half:])
+        img = jnp.concatenate([i1, i2])
+        return img, None if masks is None else jnp.concatenate([m1, m2])
 
     @jax.jit
     def augment(rng, images, masks=None):
         keys = jax.random.split(rng, images.shape[0])
-        if masks is None:
-            out_img = jax.vmap(lambda k, i: one(k, i, None)[0])(keys, images)
-            return out_img, None
-        return jax.vmap(one)(keys, images, masks)
+        return batch_apply(keys, images, masks)
 
     return augment

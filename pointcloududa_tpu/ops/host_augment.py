@@ -15,6 +15,13 @@ paths cannot drift. The heavy ops map onto cv2 (the backend imgaug itself
 wraps): medianBlur/blur/GaussianBlur, filter2D sharpen/emboss/edge,
 cvtColor hue/saturation, warpAffine/warpPerspective/remap geometry;
 superpixels reuse the same downscaled k-means SLIC as the device kernel.
+
+r3 exact-sampling upgrades, mirroring ops/augment.py: without-replacement
+``SomeOf((0, 5))`` draw with TRUE per-sample random application order
+(:func:`someof_draw_np` — the host can shuffle for free), border modes
+sampled from ia.ALL mapped to cv2 flags, Perlin-gradient simplex masks,
+sampled coarse-dropout granularity, intensity-before/after-geometry coin
+for the outer ``random_order=True``.
 """
 
 from __future__ import annotations
@@ -101,23 +108,78 @@ def _superpixels_np(rng, img, cfg):
     return out
 
 
-def _intensity_np(rng, img, cfg):
+def someof_draw_np(rng, cfg):
+    """Exact host-side ``iaa.SomeOf((0, 5), ..., random_order=True)``:
+    k ~ U{0..5} entries chosen WITHOUT replacement, returned in a uniformly
+    random application order (the host twin realises TRUE per-sample random
+    order — the device pipeline compiles two static order variants);
+    Sometimes(0.5)-wrapped entries (0, 12, 13, 14) thinned by a coin.
+    Returns (ordered entry indices, active-flag set)."""
+    if cfg.someof_n <= 0:
+        return [], set()
+    k = int(rng.integers(cfg.someof_count[0], cfg.someof_count[1] + 1))
+    chosen = list(rng.permutation(cfg.someof_n)[:k])  # selection + order in one draw
+    kept = [e for e in chosen if e not in (0, 12, 13, 14) or rng.uniform() < cfg.sometimes_p]
+    return kept, set(kept)
+
+
+def _perlin_mask_np(rng, h, w):
+    """numpy twin of the device ``_perlin_mask`` (gradient noise, sampled
+    granularity, 1-3 max-aggregated draws, sigmoid shaping)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    mask = np.zeros((h, w))
+    for _ in range(int(rng.integers(1, 4))):
+        g = float(rng.integers(2, 17))
+        u = yy * (g / h)
+        v = xx * (g / w)
+        if rng.uniform() < 0.5:  # nearest upscale: snap to raster centers
+            u = np.floor(u) + 0.5
+            v = np.floor(v) + 0.5
+        theta = rng.uniform(0, 2 * np.pi, size=(18, 18))
+        i0 = np.floor(u).astype(int)
+        j0 = np.floor(v).astype(int)
+        fu, fv = u - i0, v - j0
+
+        def gd(di, dj):
+            th = theta[i0 + di, j0 + dj]
+            return np.sin(th) * (fu - di) + np.cos(th) * (fv - dj)
+
+        def fade(t):
+            return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+        wu, wv = fade(fu), fade(fv)
+        n0 = gd(0, 0) * (1 - wv) + gd(0, 1) * wv
+        n1 = gd(1, 0) * (1 - wv) + gd(1, 1) * wv
+        val = n0 * (1 - wu) + n1 * wu
+        mask = np.maximum(mask, np.clip(0.5 + val * (0.5 / 0.70710678), 0.0, 1.0))
+    thresh = rng.normal(0, 5.0)
+    return 1.0 / (1.0 + np.exp(-(20.0 * (mask - 0.5) + thresh)))
+
+
+def _intensity_np(rng, img, cfg, order=None, active=None):
     """The SomeOf family on one (H, W, C) float image in [0, 255] —
-    op-for-op twin of the device `_intensity_ops` (independent gates)."""
+    op-for-op twin of the device `_intensity_ops`. ``order``/``active``
+    from :func:`someof_draw_np` (exact SomeOf); None = legacy independent
+    gates via ``intensity_gate``/``*_prob`` (test mode)."""
     import cv2
 
     h, w, c = img.shape
     g = cfg.intensity_gate
+    exact = order is not None
+
+    def fires(entry, prob=None):
+        if exact:
+            return entry in active
+        p = g if prob is None else prob
+        return p > 0 and rng.uniform() < p
 
     def as3(x):
         return x[..., None] if x.ndim == 2 else x
 
-    if cfg.superpixels_prob > 0 and rng.uniform() < cfg.superpixels_prob:
-        img = _superpixels_np(rng, img, cfg)
-    if g <= 0:
-        return np.clip(img, 0, 255)
-    # blur OneOf
-    if rng.uniform() < g:
+    def e_superpixels(img):
+        return _superpixels_np(rng, img, cfg)
+
+    def e_blur(img):
         choice = rng.integers(0, 3)
         if choice == 0:
             sigma = rng.uniform(*cfg.blur_sigma)
@@ -131,70 +193,98 @@ def _intensity_np(rng, img, cfg):
             k = 2 * int(rng.integers(cfg.median_blur_k[0] // 2, cfg.median_blur_k[1] // 2 + 1)) + 1
             if k > 1:
                 img = as3(cv2.medianBlur(np.clip(img, 0, 255).astype(np.uint8), k).astype(np.float64))
-    # sharpen
-    if rng.uniform() < g:
+        return img
+
+    def e_sharpen(img):
         a = rng.uniform(*cfg.sharpen_alpha)
         light = rng.uniform(*cfg.sharpen_lightness)
         eff = np.array([[-1, -1, -1], [-1, 8 + light, -1], [-1, -1, -1]], np.float32)
-        img = as3(cv2.filter2D(img, -1, _kernel3(a, eff)))
-    # emboss
-    if rng.uniform() < g:
+        return as3(cv2.filter2D(img, -1, _kernel3(a, eff)))
+
+    def e_emboss(img):
         a = rng.uniform(*cfg.emboss_alpha)
         s = rng.uniform(*cfg.emboss_strength)
         eff = np.array([[-1 - s, -s, 0], [-s, 1, s], [0, s, 1 + s]], np.float32)
-        img = as3(cv2.filter2D(img, -1, _kernel3(a, eff)))
-    # simplex-noise edge blend
-    if rng.uniform() < g:
+        return as3(cv2.filter2D(img, -1, _kernel3(a, eff)))
+
+    def e_simplex(img):
         a = rng.uniform(*cfg.edge_alpha)
         lap = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], np.float32)
         edged = np.clip(as3(cv2.filter2D(img, -1, _kernel3(a, lap))), 0, 255)
-        cell = int(rng.choice([4, 8, 16]))
-        grid = rng.uniform(size=(max(2, h // cell), max(2, w // cell))).astype(np.float32)
-        m = cv2.resize(grid, (w, h))[..., None]
-        img = m * edged + (1 - m) * img
-    # additive gaussian noise (per_channel 0.5)
-    if rng.uniform() < g:
+        m = _perlin_mask_np(rng, h, w)[..., None]
+        return m * edged + (1 - m) * img
+
+    def e_noise(img):
         scale = rng.uniform(*cfg.noise_scale)
         shape = img.shape if rng.uniform() < 0.5 else img.shape[:2] + (1,)
-        img = img + rng.normal(0, 1, size=shape) * scale
-    # dropout OneOf
-    if rng.uniform() < g:
+        return img + rng.normal(0, 1, size=shape) * scale
+
+    def e_dropout(img):
         if rng.uniform() < 0.5:
             p = rng.uniform(*cfg.dropout)
             shape = img.shape if rng.uniform() < 0.5 else img.shape[:2] + (1,)
-            img = img * (rng.uniform(size=shape) >= p)
-        else:
-            p = rng.uniform(*cfg.coarse_dropout)
-            gh, gw = max(2, int(0.03 * h)), max(2, int(0.03 * w))
-            ch = c if rng.uniform() < 0.2 else 1
-            keep = (rng.uniform(size=(gh, gw, ch)) >= p).astype(np.float32)
-            import cv2 as _cv
+            return img * (rng.uniform(size=shape) >= p)
+        p = rng.uniform(*cfg.coarse_dropout)
+        # sampled size_percent granularity (iaa.CoarseDropout (0.02, 0.05))
+        s = rng.uniform(*cfg.coarse_size)
+        gh, gw = max(2, round(s * h)), max(2, round(s * w))
+        ch = c if rng.uniform() < 0.2 else 1
+        keep = (rng.uniform(size=(gh, gw, ch)) >= p).astype(np.float32)
+        import cv2 as _cv
 
-            keep = _cv.resize(keep, (w, h), interpolation=_cv.INTER_NEAREST)
-            img = img * (keep[..., None] if keep.ndim == 2 else keep)
-    # invert (per-channel)
-    if cfg.invert_prob > 0 and rng.uniform() < g:
+        keep = _cv.resize(keep, (w, h), interpolation=_cv.INTER_NEAREST)
+        return img * (keep[..., None] if keep.ndim == 2 else keep)
+
+    def e_invert(img):
+        if cfg.invert_prob <= 0:
+            return img
         inv = rng.uniform(size=c) < cfg.invert_prob
-        img = np.where(inv, 255.0 - img, img)
-    # add (per_channel 0.5)
-    if rng.uniform() < g:
+        return np.where(inv, 255.0 - img, img)
+
+    def e_add(img):
         v = rng.uniform(*cfg.add, size=c) if rng.uniform() < 0.5 else rng.uniform(*cfg.add)
-        img = img + v
-    # hue / saturation
-    if c == 3 and rng.uniform() < g:
+        return img + v
+
+    def e_huesat(img):
+        if c != 3:
+            return img
         v = rng.uniform(*cfg.hue_sat)
         hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.float64)
         hsv[..., 0] = np.mod(hsv[..., 0] + v, 180.0)
         hsv[..., 1] = np.clip(hsv[..., 1] + v, 0, 255)
-        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float64)
-    # multiply (per_channel 0.5)
-    if rng.uniform() < g:
+        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float64)
+
+    def e_multiply(img):
         v = rng.uniform(*cfg.multiply, size=c) if rng.uniform() < 0.5 else rng.uniform(*cfg.multiply)
-        img = img * v
-    # grayscale mix
-    if rng.uniform() < g:
+        return img * v
+
+    def e_gray(img):
         a = rng.uniform(*cfg.grayscale_alpha)
-        img = img + a * (img.mean(-1, keepdims=True) - img)
+        return img + a * (img.mean(-1, keepdims=True) - img)
+
+    entries = {
+        0: (e_superpixels, cfg.superpixels_prob),
+        1: (e_blur, None),
+        2: (e_sharpen, None),
+        3: (e_emboss, None),
+        4: (e_simplex, None),
+        5: (e_noise, None),
+        6: (e_dropout, None),
+        7: (e_invert, None),
+        8: (e_add, None),
+        9: (e_huesat, None),
+        10: (e_multiply, None),
+        11: (e_gray, None),
+    }
+    if exact:
+        for e in order:  # true random application order (someof_draw_np)
+            if e in entries:
+                img = entries[e][0](img)
+    else:
+        for e in sorted(entries):
+            fn, prob = entries[e]
+            if fires(e, prob):
+                img = fn(img)
     return np.clip(img, 0, 255)
 
 
@@ -224,9 +314,29 @@ def augment_batch(
     out_i = np.empty_like(work)
     out_m = None if masks is None else np.empty_like(masks)
     h, w = images.shape[1:3]
+    # np.pad/skimage mode index -> cv2 border flag (ia.ALL for the affine/
+    # crop&pad resample): constant, edge, symmetric, reflect, wrap
+    cv2_border = [
+        cv2.BORDER_CONSTANT, cv2.BORDER_REPLICATE, cv2.BORDER_REFLECT,
+        cv2.BORDER_REFLECT_101, cv2.BORDER_WRAP,
+    ]
     for b in range(len(images)):
         img = work[b]
         msk = None if masks is None else masks[b]
+        order_e, active = someof_draw_np(rng, cfg)
+        exact = cfg.someof_n > 0
+        # outer Sequential random_order=True: intensity before or after the
+        # geometry half the time (flips commute in distribution — symmetric
+        # parameter ranges; documented)
+        intensity_first = rng.uniform() < 0.5
+
+        def apply_intensity(img):
+            if exact:
+                return _intensity_np(rng, img, cfg, order=order_e, active=active)
+            return _intensity_np(rng, img, cfg)
+
+        if intensity_first:
+            img = apply_intensity(img)
         if rng.uniform() < cfg.fliplr:
             img = img[:, ::-1]
             msk = None if msk is None else msk[:, ::-1]
@@ -234,7 +344,10 @@ def augment_batch(
             img = img[::-1]
             msk = None if msk is None else msk[::-1]
         m, warped = _affine_mat(rng, h, w, cfg)
-        if cfg.perspective_prob > 0 and rng.uniform() < cfg.perspective_prob:
+        persp_on = (14 in active) if exact else (
+            cfg.perspective_prob > 0 and rng.uniform() < cfg.perspective_prob
+        )
+        if persp_on:
             s = rng.uniform(*cfg.perspective_scale)
             jit = rng.normal(0, s, size=(4, 2)) * np.array([w, h])  # cv2 (x, y)
             dst = np.array([[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]], np.float32)
@@ -250,19 +363,30 @@ def augment_batch(
         if warped:
             order = cv2.INTER_NEAREST if rng.uniform() < 0.5 else cv2.INTER_LINEAR
             cval = float(rng.uniform(0, 255))
-            img = cv2.warpAffine(img, m, (w, h), flags=order, borderValue=(cval,) * 3)
+            border = cv2_border[int(rng.integers(0, 5))]  # pad_mode/mode=ia.ALL
+            img = cv2.warpAffine(
+                img, m, (w, h), flags=order, borderMode=border, borderValue=(cval,) * 3
+            )
             if img.ndim == 2:
                 img = img[..., None]
             if msk is not None:
                 msk = cv2.warpAffine(
-                    msk.astype(np.float32), m, (w, h), flags=cv2.INTER_NEAREST, borderValue=0
+                    msk.astype(np.float32), m, (w, h), flags=cv2.INTER_NEAREST,
+                    borderMode=border if border != cv2.BORDER_CONSTANT else cv2.BORDER_CONSTANT,
+                    borderValue=0,
                 ).astype(masks.dtype)
         # elastic + piecewise displacement fields via one remap
         disp = None
-        if cfg.elastic_prob > 0 and rng.uniform() < cfg.elastic_prob:
+        el_on = (12 in active) if exact else (
+            cfg.elastic_prob > 0 and rng.uniform() < cfg.elastic_prob
+        )
+        if el_on:
             alpha = rng.uniform(*cfg.elastic_alpha)
             disp = rng.uniform(-1, 1, size=(h, w, 2)).astype(np.float32) * alpha
-        if cfg.piecewise_prob > 0 and rng.uniform() < cfg.piecewise_prob:
+        pw_on = (13 in active) if exact else (
+            cfg.piecewise_prob > 0 and rng.uniform() < cfg.piecewise_prob
+        )
+        if pw_on:
             s = rng.uniform(*cfg.piecewise_scale)
             grid = rng.normal(0, 1, size=(4, 4, 2)).astype(np.float32)
             coarse = cv2.resize(grid, (w, h)) * s * np.array([h, w], np.float32)
@@ -279,7 +403,8 @@ def augment_batch(
                     msk.astype(np.float32), map_x, map_y, cv2.INTER_NEAREST,
                     borderMode=cv2.BORDER_REPLICATE,
                 ).astype(masks.dtype)
-        img = _intensity_np(rng, img, cfg)
+        if not intensity_first:
+            img = apply_intensity(img)
         out_i[b] = img
         if out_m is not None:
             out_m[b] = msk

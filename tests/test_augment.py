@@ -65,6 +65,7 @@ def test_flip_rates_match_config():
     img = np.zeros((n, 8, 8, 1), np.float32)
     img[:, 0, 0, 0] = 255.0
     cfg = augment.AugmentConfig(
+        someof_n=0,
         fliplr=0.5, flipud=0.2, croppad_prob=0.0, affine_prob=0.0,
         elastic_prob=0.0, perspective_prob=0.0, piecewise_prob=0.0,
         superpixels_prob=0.0, intensity_gate=0.0, invert_prob=0.0,
@@ -88,6 +89,7 @@ def test_affine_gate_rate():
     img = np.zeros((n, 16, 16, 1), np.float32)
     img[:, 2:5, 2:5, 0] = 255.0
     cfg = augment.AugmentConfig(
+        someof_n=0,
         fliplr=0.0, flipud=0.0, croppad_prob=0.0, affine_prob=0.5,
         translate=(0.3, 0.4), rotate=(0.0, 0.0), shear=(0.0, 0.0), scale=(1.0, 1.0),
         elastic_prob=0.0, perspective_prob=0.0, piecewise_prob=0.0,
@@ -105,6 +107,7 @@ def test_croppad_direction():
     img = np.zeros((32, 24, 24, 1), np.float32)
     img[:, 8:16, 8:16, 0] = 255.0  # 8px-wide centered blob
     cfg = augment.AugmentConfig(
+        someof_n=0,
         fliplr=0.0, flipud=0.0, croppad_prob=1.0, croppad=(0.5, 0.5),
         affine_prob=0.0, elastic_prob=0.0, perspective_prob=0.0, piecewise_prob=0.0,
         superpixels_prob=0.0, intensity_gate=0.0, invert_prob=0.0,

@@ -25,8 +25,11 @@ GEO_OFF = dict(
     fliplr=0.0, flipud=0.0, croppad_prob=0.0, affine_prob=0.0,
     elastic_prob=0.0, piecewise_prob=0.0, perspective_prob=0.0,
 )
+# someof_n=0 selects the legacy independent-gate mode these isolation tests
+# drive through intensity_gate / *_prob; the production pipelines use the
+# exact without-replacement SomeOf draw (tests further below)
 ALL_OFF = dict(
-    **GEO_OFF, intensity_gate=0.0, superpixels_prob=0.0, invert_prob=0.0
+    **GEO_OFF, someof_n=0, intensity_gate=0.0, superpixels_prob=0.0, invert_prob=0.0
 )
 
 
@@ -113,12 +116,109 @@ def test_someof_gate_calibration_heavy():
     """heavy(): per-entry gate = E[SomeOf((0,5))]/15 = 1/6; Sometimes-wrapped
     entries at 1/12 (superpixels, elastic, piecewise, perspective)."""
     cfg = augment.heavy()
+    assert cfg.someof_n == 15 and cfg.someof_count == (0, 5)
     assert abs(cfg.intensity_gate - 2.5 / 15) < 1e-9
     for p in (cfg.superpixels_prob, cfg.elastic_prob, cfg.piecewise_prob, cfg.perspective_prob):
         assert abs(p - 0.5 * 2.5 / 15) < 1e-9
     med = augment.medium()
+    assert med.someof_n == 12  # the medium SomeOf list = first 12 entries
     assert abs(med.intensity_gate - 2.5 / 12) < 1e-9
     assert med.elastic_prob == med.piecewise_prob == med.perspective_prob == 0.0
+    assert augment.light().someof_n == 0
+
+
+def test_someof_exact_draw_semantics():
+    """The production draw is imgaug-exact: k ~ U{0..5} entries WITHOUT
+    replacement — never more than 5 active, marginal rate = E[k]/n (x0.5
+    for Sometimes-wrapped), and the count histogram of the UNWRAPPED
+    entries is dominated by the uniform k draw (not a binomial tail)."""
+    import jax
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6000)
+    acts = np.asarray(jax.vmap(lambda k: augment.someof_active(k, augment.heavy()))(ks))
+    plain = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]
+    wrapped = [0, 12, 13, 14]
+    # a without-replacement draw can NEVER activate more than 5 entries —
+    # independent Bernoullis (the r2 approximation) exceed 5 ~3% of the time
+    assert (acts.sum(1) <= 5).all()
+    # marginals match the spec
+    assert np.abs(acts[:, plain].mean(0) - 2.5 / 15).max() < 0.02
+    assert np.abs(acts[:, wrapped].mean(0) - 1.25 / 15).max() < 0.02
+    # medium: last 3 entries excluded from the draw entirely
+    acts12 = np.asarray(jax.vmap(lambda k: augment.someof_active(k, augment.medium()))(ks[:500]))
+    assert not acts12[:, 12:].any()
+
+
+def test_border_fold_matches_numpy_pad():
+    """_border_fold vs np.pad index semantics for edge/symmetric/reflect/
+    wrap on out-of-range indices."""
+    import jax.numpy as jnp
+
+    n = 5
+    base = np.arange(n)
+    idx = np.arange(-7, 12)
+    for mode_i, np_mode in ((1, "edge"), (2, "symmetric"), (3, "reflect"), (4, "wrap")):
+        padded = np.pad(base, (7, 7), mode=np_mode)
+        want = padded[idx + 7]
+        got = base[np.asarray(augment._border_fold(jnp.asarray(idx), n, jnp.int32(mode_i)))]
+        np.testing.assert_array_equal(got, want, err_msg=np_mode)
+
+
+def test_warp_border_modes_fill_vs_fold():
+    """A pure translation past the border: constant mode fills with cval;
+    edge mode replicates the border row (no cval anywhere)."""
+    import jax.numpy as jnp
+
+    img = jnp.broadcast_to(jnp.arange(8.0)[:, None, None], (8, 8, 1))  # rows 0..7
+    M = jnp.asarray(np.array([[1.0, 0, -3], [0, 1, 0], [0, 0, 1]]))  # out y -> in y-3
+    disp = jnp.zeros((8, 8, 2))
+    out_c = np.asarray(augment._warp_one(img, M, disp, 1, 99.0, mode=jnp.int32(0)))
+    out_e = np.asarray(augment._warp_one(img, M, disp, 1, 99.0, mode=jnp.int32(1)))
+    assert (out_c[:3] == 99.0).all() and (out_c[3:, :, 0] == np.arange(5)[:, None]).all()
+    assert (out_e[:3] == 0.0).all() and (out_e[3:, :, 0] == np.arange(5)[:, None]).all()
+
+
+def test_perlin_mask_range_and_granularity():
+    import jax
+
+    m = np.asarray(augment._perlin_mask(jax.random.PRNGKey(2), 64, 64))
+    assert m.shape == (64, 64)
+    assert 0.0 <= m.min() and m.max() <= 1.0
+    # different keys give different fields
+    m2 = np.asarray(augment._perlin_mask(jax.random.PRNGKey(3), 64, 64))
+    assert np.abs(m - m2).mean() > 0.01
+
+
+def test_coarse_dropout_granularity_sampled():
+    """Force the coarse-dropout branch and measure the dropped-cell size:
+    runs (contiguous dropped spans) must reflect size_percent in
+    (0.02, 0.05) => cell sides between ~1/0.05 and ~1/0.02 of the image,
+    i.e. between 12 and 34 px at 64^2 (inclusive of rounding)."""
+    import jax
+
+    cfg = dataclass_with(
+        augment.AugmentConfig(**{**ALL_OFF, "intensity_gate": 1.0}),
+        **{**NEUTRAL, "coarse_dropout": (0.5, 0.5), "coarse_size": (0.02, 0.05),
+           "dropout": (0.0, 0.0)},
+    )
+    # p2=0.5 => a checkerboard of dropped cells; boundary spacing along a
+    # column == the sampled cell height (h / gh, gh = round(s*h), s in
+    # (0.02, 0.05) => gh in {3..6} at 128 => spacing in {21..43})
+    n = 128
+    imgs = np.full((8, n, n, 3), 200, np.uint8)
+    fn = augment.make_augment_fn(cfg)
+    found = set()
+    for seed in range(6):
+        out, _ = fn(jax.random.PRNGKey(seed), imgs)
+        out = np.asarray(out)
+        for b in range(out.shape[0]):
+            col = out[b, :, :, 0]
+            changes = np.where(np.abs(np.diff(col.mean(1))) > 5)[0]
+            if len(changes) >= 2:
+                found.update(np.diff(changes).tolist())
+    plausible = {s for s in found if 18 <= s <= 46}
+    # multiple distinct cell sizes observed — granularity is SAMPLED
+    assert len(plausible) >= 2, found
 
 
 def dataclass_with(cfg, **kw):
@@ -253,7 +353,10 @@ def test_label_preservation_under_heavy_geometry():
     masks[:, 10:22, 10:22] = 1
     masks[:, 13:19, 13:19] = 2
     cfg = dataclass_with(
-        augment.heavy(), intensity_gate=0.0, superpixels_prob=0.0, invert_prob=0.0
+        # someof_n=0: intensity entries off (legacy gates at 0) while the
+        # geometric family keeps its heavy() probabilities
+        augment.heavy(), someof_n=0, intensity_gate=0.0, superpixels_prob=0.0,
+        invert_prob=0.0,
     )
     fn = augment.make_augment_fn(cfg)
     _, out_m = fn(jax.random.PRNGKey(11), imgs, masks)
