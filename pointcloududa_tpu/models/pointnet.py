@@ -46,6 +46,9 @@ class _Norm1d(nn.Module):
 
     single_sample: bool
     compute_dtype: Any = jnp.float32
+    # torch-exact running-variance update (n/(n-1)); False restores flax's
+    # biased update — honouring config.torch_bn_stats model-wide
+    torch_bn_stats: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -54,7 +57,7 @@ class _Norm1d(nn.Module):
             # but the running-variance update feeds the unbiased (n/(n-1))
             # batch variance like torch (reference PointNetCls.py BatchNorm1d
             # layers). State tree matches flax ("BatchNorm_0" {mean,var}).
-            return _TwinBatchNorm(unbiased=True, name="BatchNorm_0")(
+            return _TwinBatchNorm(unbiased=self.torch_bn_stats, name="BatchNorm_0")(
                 x, use_running_average=not train
             ).astype(self.compute_dtype)
         # per-sample normalisation (instance-norm style, no running stats)
@@ -116,17 +119,19 @@ class STNkd(nn.Module):
 
     k: int = 3
     compute_dtype: Any = jnp.float32
+    torch_bn_stats: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
         single = x.shape[0] == 1
+        tbs = self.torch_bn_stats
         for ch, name in ((64, "conv1"), (128, "conv2"), (1024, "conv3")):
             x = _PointConv(ch, compute_dtype=self.compute_dtype, name=name)(x)
-            x = nn.relu(_Norm1d(single, self.compute_dtype, name=f"n_{name}")(x, train))
+            x = nn.relu(_Norm1d(single, self.compute_dtype, tbs, name=f"n_{name}")(x, train))
         x = jnp.max(x, axis=1)  # (B, 1024)
         for ch, name in ((512, "fc1"), (256, "fc2")):
             x = _Dense(ch, compute_dtype=self.compute_dtype, name=name)(x)
-            x = nn.relu(_Norm1d(single, self.compute_dtype, name=f"n_{name}")(x, train))
+            x = nn.relu(_Norm1d(single, self.compute_dtype, tbs, name=f"n_{name}")(x, train))
         x = _Dense(self.k * self.k, compute_dtype=self.compute_dtype, name="fc3")(x)
         iden = jnp.eye(self.k, dtype=x.dtype).reshape(1, self.k * self.k)
         return (x + iden).reshape(-1, self.k, self.k)
@@ -143,6 +148,7 @@ class PointNetFeat(nn.Module):
     dim: int = 3
     ext: bool = False
     compute_dtype: Any = jnp.float32
+    torch_bn_stats: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -151,13 +157,15 @@ class PointNetFeat(nn.Module):
         single = x.shape[0] == 1
         trans = None
         if self.sample_transform:
-            trans = STNkd(k=self.dim, compute_dtype=self.compute_dtype, name="stn")(x, train)
+            trans = STNkd(k=self.dim, compute_dtype=self.compute_dtype,
+                          torch_bn_stats=self.torch_bn_stats, name="stn")(x, train)
             x = jnp.einsum("bnd,bde->bne", x, trans, preferred_element_type=jnp.float32)
         k, s = self.kernel_size, self.stride
 
         def stage(x, ch, name, relu=True):
             x = _PointConv(ch, k, s, self.compute_dtype, name=name)(x)
-            x = _Norm1d(single, self.compute_dtype, name=f"bn_{name}")(x, train)
+            x = _Norm1d(single, self.compute_dtype, self.torch_bn_stats,
+                        name=f"bn_{name}")(x, train)
             return nn.relu(x) if relu else x
 
         if self.ext:
@@ -168,7 +176,8 @@ class PointNetFeat(nn.Module):
 
         trans_feat = None
         if self.feature_transform:
-            trans_feat = STNkd(k=64, compute_dtype=self.compute_dtype, name="fstn")(x, train)
+            trans_feat = STNkd(k=64, compute_dtype=self.compute_dtype,
+                               torch_bn_stats=self.torch_bn_stats, name="fstn")(x, train)
             x = jnp.einsum("bnd,bde->bne", x, trans_feat, preferred_element_type=jnp.float32)
 
         pointfeat = x
@@ -198,6 +207,7 @@ class PointNetCls(nn.Module):
     ext: bool = False
     drop: float = 0.3
     compute_dtype: Any = jnp.float32
+    torch_bn_stats: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -211,14 +221,17 @@ class PointNetCls(nn.Module):
             dim=self.dim,
             ext=self.ext,
             compute_dtype=self.compute_dtype,
+            torch_bn_stats=self.torch_bn_stats,
             name="feat",
         )(x, train)
         x = _Dense(512, compute_dtype=self.compute_dtype, name="fc1")(x)
-        x = nn.relu(_Norm1d(single, self.compute_dtype, name="bn1")(x, train))
+        x = nn.relu(_Norm1d(single, self.compute_dtype, self.torch_bn_stats,
+                            name="bn1")(x, train))
         x = _Dense(256, compute_dtype=self.compute_dtype, name="fc2")(x)
         # dropout BEFORE the norm, as in the reference (PointNetCls.py:209)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
-        x = nn.relu(_Norm1d(single, self.compute_dtype, name="bn2")(x, train))
+        x = nn.relu(_Norm1d(single, self.compute_dtype, self.torch_bn_stats,
+                            name="bn2")(x, train))
         x = _Dense(1, compute_dtype=self.compute_dtype, name="fc3")(x)
         return x.astype(jnp.float32), trans, trans_feat
 

@@ -65,11 +65,14 @@ def _stats_jnp(x2d):
 
 
 def _tpu_kernel_viable() -> bool:
-    """The Pallas TPU kernel compiles only on a real TPU backend, or anywhere
-    under ``pltpu.force_tpu_interpret_mode`` (the test harness). Any other
+    """The Pallas TPU kernel compiles only on a TPU backend — including the
+    ``axon`` relay plugin this machine reaches its real chip through (which
+    registers its own platform name but compiles genuine TPU programs;
+    the kernel was measured on it in r2) — or anywhere under
+    ``pltpu.force_tpu_interpret_mode`` (the test harness). Any other
     backend (CPU, GPU — whose pallas dialect can't lower ``pltpu.VMEM``
     specs) falls back to the jnp path."""
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() in ("tpu", "axon"):
         return True
     ctx = _interpret_mode_ctx()
     return ctx is not None and ctx.value is not None

@@ -34,9 +34,12 @@ import numpy as np
 from pointcloududa_tpu.ops import augment as augment_cfg
 
 
-def _affine_mat(rng, h, w, cfg: "augment_cfg.AugmentConfig"):
+def _affine_mat(rng, h, w, cfg: "augment_cfg.AugmentConfig", cp_after=False):
     """Forward cv2 2x3 matrix for the crop&pad + affine family (same
-    composition as the device `_affine_inverse`, forward form)."""
+    composition as the device `_affine_inverse`, forward form).
+    ``cp_after`` mirrors the device path's outer-Sequential order variant:
+    crop&pad composed after the affine rescales its translation by
+    1/(1+cp)."""
     gate_aff = rng.uniform() < cfg.affine_prob
     gate_cp = rng.uniform() < cfg.croppad_prob
     sy = rng.uniform(*cfg.scale) if gate_aff else 1.0
@@ -46,6 +49,8 @@ def _affine_mat(rng, h, w, cfg: "augment_cfg.AugmentConfig"):
     theta = np.deg2rad(rng.uniform(*cfg.rotate)) if gate_aff else 0.0
     sh = np.deg2rad(rng.uniform(*cfg.shear)) if gate_aff else 0.0
     t = rng.uniform(*cfg.translate, size=2) if gate_aff else np.zeros(2)
+    if cp_after:
+        t = t / (1.0 + cp)
     ty, tx = t[0] * h, t[1] * w
     c, s = np.cos(theta), np.sin(theta)
     rot = np.array([[c, -s], [s, c]])
@@ -126,16 +131,17 @@ def someof_draw_np(rng, cfg):
 def _perlin_mask_np(rng, h, w):
     """numpy twin of the device ``_perlin_mask`` (gradient noise, sampled
     granularity, 1-3 max-aggregated draws, sigmoid shaping)."""
+    G = augment_cfg._PERLIN_G  # shared with the device kernel — cannot drift
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     mask = np.zeros((h, w))
     for _ in range(int(rng.integers(1, 4))):
-        g = float(rng.integers(2, 17))
+        g = float(rng.integers(2, G + 1))
         u = yy * (g / h)
         v = xx * (g / w)
         if rng.uniform() < 0.5:  # nearest upscale: snap to raster centers
             u = np.floor(u) + 0.5
             v = np.floor(v) + 0.5
-        theta = rng.uniform(0, 2 * np.pi, size=(18, 18))
+        theta = rng.uniform(0, 2 * np.pi, size=(G + 2, G + 2))
         i0 = np.floor(u).astype(int)
         j0 = np.floor(v).astype(int)
         fu, fv = u - i0, v - j0
@@ -343,7 +349,7 @@ def augment_batch(
         if rng.uniform() < cfg.flipud:
             img = img[::-1]
             msk = None if msk is None else msk[::-1]
-        m, warped = _affine_mat(rng, h, w, cfg)
+        m, warped = _affine_mat(rng, h, w, cfg, cp_after=intensity_first)
         persp_on = (14 in active) if exact else (
             cfg.perspective_prob > 0 and rng.uniform() < cfg.perspective_prob
         )
@@ -372,8 +378,8 @@ def augment_batch(
             if msk is not None:
                 msk = cv2.warpAffine(
                     msk.astype(np.float32), m, (w, h), flags=cv2.INTER_NEAREST,
-                    borderMode=border if border != cv2.BORDER_CONSTANT else cv2.BORDER_CONSTANT,
-                    borderValue=0,
+                    borderMode=border,
+                    borderValue=0,  # constant-mode mask fill stays 0
                 ).astype(masks.dtype)
         # elastic + piecewise displacement fields via one remap
         disp = None

@@ -123,7 +123,8 @@ def build_models(cfg: UDAConfig):
         else None
     )
     d4 = (
-        PointNetCls(feature_transform=cfg.ft, ext=cfg.extd4, compute_dtype=dtype)
+        PointNetCls(feature_transform=cfg.ft, ext=cfg.extd4, compute_dtype=dtype,
+                    torch_bn_stats=cfg.torch_bn_stats)
         if cfg.d4
         else None
     )

@@ -141,6 +141,9 @@ def offline_rotate(args):
     from pointcloududa_tpu.data.pointcloud import mask_to_point_cloud
 
     ids = load_ids(args.csv)
+    # idempotency: when --csv == --out-csv (the reproduce.py chain) a rerun
+    # must not double-rotate — skip ids that are themselves rotations
+    ids = [i for i in ids if not i.endswith(("_r1", "_r2"))]
     out_ids = list(ids)
     for i, _id in enumerate(ids):
         img = cv2.imread(os.path.join(args.img_dir, f"{_id}.png"))

@@ -19,11 +19,11 @@ Expected raw layout under --data-root (the reference's, SURVEY.md §3.5):
 
 Split conventions (the reference ships only the resulting csvs, not the
 splitter; these reproduce their sizes): source train = bSSFP patients
-1..40, source val (testA) = 41..45; target train (trainB) = LGE 1..45;
-target val (testB) = LGE 41..45; final evaluation = LGE 6..45 vs
-lge_test_gt. Target masks/vertices are built from the LGE GT where it
-exists — they feed only the logged chamfer metric and the evaluation,
-never a training loss (the UDA setting is preserved).
+1..40, source val (testA) = 41..45; target train (trainB) = LGE 6..45
+(the patients with lge_test_gt masks — the adapter needs mask/vertex
+files per id, and the masks feed only the logged chamfer metric / vertex
+GT, never a training loss, so the UDA setting is preserved); target val
+(testB) = LGE 41..45; final evaluation = LGE 6..45 vs lge_test_gt.
 
 Paper hyperparameters (reference ``src/README.md:4,30-37``):
   train: -aug2 -bs 16 -ns 2000 -e 400 -d1 -d2 -d4 (the D1+D2 row of the
@@ -71,7 +71,12 @@ def build_stages(root: str, workdir: str, *, pats=(1, 46), val_pats=(41, 46),
         prep("bssfp", "trainAmask", labels=True, pat=(lo, vlo)),
         prep("bssfp", "testA", pat=(vlo, vhi)),
         prep("bssfp", "testAmask", labels=True, pat=(vlo, vhi)),
-        prep("lge", "trainB", pat=pats),
+        # target-train = the LGE patients with lge_test_gt masks (eval_pats;
+        # the masks feed only the logged chamfer metric / vertex GT, never a
+        # loss). The adapter requires mask+vertex files for every trainB id,
+        # so images and masks must cover the SAME patient range; target-val
+        # (testB, trainB_orig dirs) is the val_pats slice of that range.
+        prep("lge", "trainB", pat=eval_pats),
         prep("lge", "trainBmask", labels=True, labels_subdir="lge_test_gt",
              pat=eval_pats),
         # target-valid ("testB" csv) lives in trainB_orig dirs — the
@@ -187,7 +192,7 @@ def check(tmpdir: str):
     tiny = dict(filters=4, n_block=2, crop_size=crop, fc_inch=0)
 
     def tiny_default(**kw):
-        kw.update({k: v for k, v in tiny.items() if k not in ("",)})
+        kw.update(tiny)
         return real(**kw)
 
     config_mod.mscmrseg_default = tiny_default
