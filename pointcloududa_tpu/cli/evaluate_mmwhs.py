@@ -35,6 +35,11 @@ def main(argv=None):
     p.add_argument("-model_name", type=str, default="")
     p.add_argument("-csv", type=str, default="evaluation_of_models_tf.csv")
     p.add_argument("-toplot", help="save input/pred/GT triptychs to this dir", type=str, default="")
+    p.add_argument(
+        "-pat_ids", nargs="+", type=int, default=[1003, 1008, 1014, 1019],
+        help="CT test patient ids (the reference's fixed four, "
+        "evaluate_mmwhs.py:60)",
+    )
     args = p.parse_args(argv)
 
     from pointcloududa_tpu.config import mmwhs_default
@@ -64,6 +69,7 @@ def main(argv=None):
         bs=args.bs,
         ifhd=bool(args.ifhd),
         ifasd=bool(args.ifasd),
+        pat_ids=tuple(args.pat_ids),
         per_patient_csv=args.csv if args.save else None,
         model_name=args.model_name,
         plot_dir=args.toplot or None,

@@ -26,9 +26,16 @@ from pointcloududa_tpu.utils.tfrecord import read_examples  # noqa: E402
 
 
 def decode_slice(tfrecord_path: str):
+    """The release's records are 256x256x3 (``tf_to_numpy.py:40-64``); the
+    side is inferred from the payload length so fabricated mini records
+    (``tools/reproduce_mmwhs.py --check``) decode through the same path."""
     ex = next(iter(read_examples(tfrecord_path)))
-    data = np.frombuffer(ex["data_vol"][0], dtype="<f4").reshape(256, 256, 3)
-    label = np.frombuffer(ex["label_vol"][0], dtype="<f4").reshape(256, 256, 3)
+    data = np.frombuffer(ex["data_vol"][0], dtype="<f4")
+    label = np.frombuffer(ex["label_vol"][0], dtype="<f4")
+    side = int(round((data.size / 3) ** 0.5))
+    assert side * side * 3 == data.size, f"non-square record: {data.size} floats"
+    data = data.reshape(side, side, 3)
+    label = label.reshape(side, side, 3)
     return data, label[..., 0:1]
 
 
