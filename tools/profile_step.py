@@ -23,20 +23,26 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=True,
                    help="s2d-packed level-0 path (the production default; ops/packed.py)")
+    p.add_argument("--workload", choices=["mscmrseg", "mmwhs"], default="mscmrseg",
+                   help="mmwhs = BASELINE config 5 (256^2 5-class softmax-CE, "
+                   "D2+D4, entropy/log C) — same config bench.py's "
+                   "BENCH_WORKLOAD=mmwhs measures")
     args = p.parse_args(argv)
 
     import jax
 
-    from pointcloududa_tpu.config import mscmrseg_default
+    from pointcloududa_tpu.config import mmwhs_default, mscmrseg_default
     from pointcloududa_tpu.data.synthetic import synthetic_batch
     from pointcloududa_tpu.train.state import build_models, build_optimizers, create_train_state
     from pointcloududa_tpu.train.step import make_train_step
     from pointcloududa_tpu.utils.timer import trace_annotation
 
-    cfg = mscmrseg_default(
-        d1=True, d2=True, d4=True, bs=args.bs, compute_dtype=args.dtype,
-        packed_level0=args.packed, packed_compute=args.packed,
-    )
+    kw = dict(bs=args.bs, compute_dtype=args.dtype,
+              packed_level0=args.packed, packed_compute=args.packed)
+    if args.workload == "mmwhs":
+        cfg = mmwhs_default(softmax=True, d2=True, d4=True, **kw)
+    else:
+        cfg = mscmrseg_default(d1=True, d2=True, d4=True, **kw)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
     batch = jax.device_put(synthetic_batch(cfg, args.bs))
