@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import argparse
 
-from pointcloududa_tpu.config import appendix, mmwhs_default
+from pointcloududa_tpu import config as _config
+from pointcloududa_tpu.config import appendix
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -92,7 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(args) -> "UDAConfig":
     assert args.aug in ("", "heavy", "light")
-    return mmwhs_default(
+    # late-bound through the config module (see train_mscmrseg.py note)
+    return _config.mmwhs_default(
         bs=args.bs,
         ns=args.ns,
         epochs=args.e,

@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import argparse
 
-from pointcloududa_tpu.config import appendix, mscmrseg_default
+from pointcloududa_tpu import config as _config
+from pointcloududa_tpu.config import appendix
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -70,7 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(args) -> "UDAConfig":
     aug = "aug2" if args.aug2 else ("heavy" if args.aug else "")
-    return mscmrseg_default(
+    # late-bound through the config module so test/runbook fixtures that
+    # swap config.mscmrseg_default take effect regardless of import order
+    return _config.mscmrseg_default(
         aug=aug,
         load_weight=args.load_weight,
         bs=args.bs,

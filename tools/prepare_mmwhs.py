@@ -33,7 +33,11 @@ def decode_slice(tfrecord_path: str):
     data = np.frombuffer(ex["data_vol"][0], dtype="<f4")
     label = np.frombuffer(ex["label_vol"][0], dtype="<f4")
     side = int(round((data.size / 3) ** 0.5))
-    assert side * side * 3 == data.size, f"non-square record: {data.size} floats"
+    if side * side * 3 != data.size or label.size != data.size:
+        raise ValueError(
+            f"{tfrecord_path}: expected matching square HxWx3 payloads, got "
+            f"data_vol={data.size} label_vol={label.size} floats"
+        )
     data = data.reshape(side, side, 3)
     label = label.reshape(side, side, 3)
     return data, label[..., 0:1]

@@ -43,6 +43,9 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from runbook import drive, find_best_checkpoint, parse_train_args  # noqa: E402
 
 
 def build_stages(root: str, workdir: str, *, pats=(1, 46), val_pats=(41, 46),
@@ -141,15 +144,8 @@ def run_stage(module: str, argv: list, workdir: str):
         # -from_name needs the checkpoint file, not the directory
         i = argv.index("-model_dir") + 1
         argv = list(argv)
-        argv[i] = _find_best_checkpoint(argv[i])
+        argv[i] = find_best_checkpoint(argv[i])
     mod.main(argv)
-
-
-def _find_best_checkpoint(workdir: str) -> str:
-    cands = [f for f in os.listdir(workdir) if f.startswith("best_")]
-    if not cands:
-        raise SystemExit(f"no best_* checkpoint in {workdir}")
-    return os.path.join(workdir, sorted(cands)[-1])
 
 
 # ---------------------------------------------------------------- --check --
@@ -241,8 +237,10 @@ def main(argv=None):
     p.add_argument("--stage", default="", help="run only stages whose name contains this")
     p.add_argument("--print-only", action="store_true", help="print commands, run nothing")
     p.add_argument("--epochs", type=int, default=400)
-    p.add_argument("--train-args", nargs="*", default=["-d1", "-d2"],
-                   help="UDA flags for the train stage, e.g. -aug2 -d1 -d2 -d4")
+    p.add_argument("--train-args", default=None,
+                   help="UDA flags for the train stage — one shell-quoted "
+                   "string, e.g. --train-args '-aug2 -d1 -d2 -d4' "
+                   "(default: '-d1 -d2', the heavy-aug 0.849 row)")
     p.add_argument("--check", action="store_true",
                    help="fabricate a mini dataset and dry-run the whole chain")
     args = p.parse_args(argv)
@@ -255,13 +253,9 @@ def main(argv=None):
         return
 
     stages = build_stages(args.data_root, args.workdir,
-                          train_args=args.train_args, epochs=args.epochs)
-    for name, mod, sargv in stages:
-        if args.stage and args.stage not in name:
-            continue
-        print(f"== [{name}] python -m {mod} " + " ".join(sargv), flush=True)
-        if not args.print_only:
-            run_stage(mod, sargv, args.workdir)
+                          train_args=parse_train_args(args.train_args, ["-d1", "-d2"]),
+                          epochs=args.epochs)
+    drive(stages, run_stage, args.workdir, args.stage, args.print_only)
     if not args.print_only and (not args.stage or "evaluate" in args.stage):
         print("done — compare the printed table with BASELINE.md "
               "(heavy-aug+D1+D2 expectation: val-LGE Dice ~0.849)")

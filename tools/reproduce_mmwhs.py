@@ -37,6 +37,9 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from runbook import drive, find_best_checkpoint, parse_train_args  # noqa: E402
 
 SPLITS = ("ct_train", "ct_val", "mr_train", "mr_val")
 PAPER_TRAIN = ["-bs", "16", "-ns", "1000", "-e", "400", "-d1", "-d2", "-d4",
@@ -76,13 +79,6 @@ def build_stages(root: str, workdir: str, *, train_args=None, pat_ids=None):
     return stages
 
 
-def _find_best_checkpoint(workdir: str) -> str:
-    cands = [f for f in os.listdir(workdir) if f.startswith("best_")]
-    if not cands:
-        raise SystemExit(f"no best_* checkpoint in {workdir}")
-    return os.path.join(workdir, sorted(cands)[-1])
-
-
 def run_stage(module: str, argv: list, workdir: str):
     import importlib
 
@@ -90,7 +86,7 @@ def run_stage(module: str, argv: list, workdir: str):
     if module == "pointcloududa_tpu.cli.evaluate_mmwhs":
         i = argv.index("-weight_dir") + 1
         argv = list(argv)
-        argv[i] = _find_best_checkpoint(argv[i])
+        argv[i] = find_best_checkpoint(argv[i])
     mod.main(argv)
 
 
@@ -190,8 +186,10 @@ def main(argv=None):
     p.add_argument("--workdir", default="./weights_reproduce_mmwhs")
     p.add_argument("--stage", default="", help="run only stages whose name contains this")
     p.add_argument("--print-only", action="store_true", help="print commands, run nothing")
-    p.add_argument("--train-args", nargs="*", default=None,
-                   help="override the paper train flags entirely")
+    p.add_argument("--train-args", default=None,
+                   help="override the paper train flags entirely — one "
+                   "shell-quoted string, e.g. --train-args '-bs 16 -d2 -d4 "
+                   "-softmax'")
     p.add_argument("--check", action="store_true",
                    help="fabricate a mini dataset and dry-run the whole chain")
     args = p.parse_args(argv)
@@ -203,13 +201,9 @@ def main(argv=None):
             check(td)
         return
 
-    stages = build_stages(args.data_root, args.workdir, train_args=args.train_args)
-    for name, mod, sargv in stages:
-        if args.stage and args.stage not in name:
-            continue
-        print(f"== [{name}] python -m {mod} " + " ".join(sargv), flush=True)
-        if not args.print_only:
-            run_stage(mod, sargv, args.workdir)
+    stages = build_stages(args.data_root, args.workdir,
+                          train_args=parse_train_args(args.train_args, PAPER_TRAIN))
+    drive(stages, run_stage, args.workdir, args.stage, args.print_only)
     if not args.print_only and (not args.stage or "evaluate" in args.stage):
         print("done — compare the printed table with BASELINE.md "
               "(D1+D2+D4 expectation: CT test Dice ~0.565; D2+D4: ~0.595)")
