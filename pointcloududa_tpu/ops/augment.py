@@ -17,9 +17,11 @@ piecewise-affine*, perspective*; ``*`` = wrapped in ``Sometimes(0.5)``).
 
 Exact-sampling parity (r3): ``SomeOf((0, 5))`` draws k ~ U{0..5} and
 selects exactly k of the n entries WITHOUT replacement (a rank draw), like
-imgaug — not independent Bernoullis; borders sample among ALL five
+imgaug — not independent Bernoullis; image borders sample among ALL five
 scikit-image modes (constant/edge/symmetric/reflect/wrap) with cval ~
-U(0, 255), per ``mode=ia.ALL``/``pad_mode=ia.ALL``; the affine image
+U(0, 255), per ``mode=ia.ALL``/``pad_mode=ia.ALL`` — heavy/aug2 only: the
+light pipelines pin ``mode='constant'`` exactly like the reference
+(``border_mode_all=False``); the affine image
 resample order is sampled from {nearest, bilinear} (``order=[0, 1]``); the
 simplex alpha mask is gradient (Perlin) noise at imgaug's sampled
 ``size_px_max (2, 16)`` granularity with linear/nearest upscale,
@@ -40,8 +42,10 @@ environment — see TODO.md); directed edge detect uses the isotropic
 kernel; superpixels run at <=128px internal resolution exactly like
 imgaug's ``max_size=128`` but with a k-means SLIC approximation.
 
-Masks are warped with nearest-neighbour sampling and never receive
-intensity ops — same contract as ``seq(images=..., segmentation_maps=...)``.
+Masks are warped with nearest-neighbour sampling, constant-0 borders
+(imgaug hardcodes ``mode="constant", cval=0`` for segmentation maps even
+when the image samples ``ia.ALL``), and never receive intensity ops — same
+contract as ``seq(images=..., segmentation_maps=...)``.
 """
 
 from __future__ import annotations
@@ -63,6 +67,12 @@ class AugmentConfig:
     croppad_prob: float = 0.5
     croppad: Tuple[float, float] = (-0.05, 0.1)
     affine_prob: float = 0.5
+    # image border handling for the crop&pad/affine resample: True = sample
+    # among all five skimage modes (``mode=ia.ALL``/``pad_mode=ia.ALL``,
+    # heavy/aug2); False = constant only (the light pipelines' Affine pins
+    # ``mode='constant'``, data_generator_mscmrseg.py:153 / mmwhs.py:101).
+    # Masks always get constant-0 borders, matching imgaug's segmap rule.
+    border_mode_all: bool = True
     # exact iaa.SomeOf((0, 5)) without-replacement draw over the first
     # ``someof_n`` entries (15 heavy, 12 medium — the medium pipeline's
     # SomeOf list is exactly the first 12 entries, reference
@@ -148,6 +158,7 @@ def light() -> AugmentConfig:
         piecewise_prob=0.0,
         perspective_prob=0.0,
         invert_prob=0.0,
+        border_mode_all=False,  # both light Affines pin mode='constant'
     )
 
 
@@ -435,6 +446,36 @@ def _emboss(img, alpha, strength):
 _PERLIN_G = 16  # max lattice cells across a dimension (imgaug size_px_max hi)
 
 
+def _perlin_eval(theta, u, v):
+    """Classic Perlin evaluation at lattice coordinates ``(u, v)``.
+
+    ``theta``: (side, side) gradient angles — the unit gradient at lattice
+    node (i, j) is (sin θ, cos θ). Value = quintic-fade bilinear blend of
+    the four corner gradient·offset dots; range ~[-sqrt(2)/2, sqrt(2)/2].
+    Golden-tested against a scalar-loop oracle derived from Perlin's
+    published definition (test_augment_distribution.py).
+    """
+    side = theta.shape[0]
+    i0 = jnp.floor(u)
+    j0 = jnp.floor(v)
+    fu = u - i0
+    fv = v - j0
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+
+    def grad_dot(di, dj):
+        th = jnp.take(theta.reshape(-1), (i0 + di) * side + (j0 + dj))
+        return jnp.sin(th) * (fu - di) + jnp.cos(th) * (fv - dj)
+
+    def fade(t):
+        return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+    wu, wv = fade(fu), fade(fv)
+    n0 = grad_dot(0, 0) * (1 - wv) + grad_dot(0, 1) * wv
+    n1 = grad_dot(1, 0) * (1 - wv) + grad_dot(1, 1) * wv
+    return n0 * (1 - wu) + n1 * wu
+
+
 def _perlin_mask(key, h: int, w: int):
     """Gradient-noise alpha mask in [0, 1] — the imgaug SimplexNoiseAlpha
     recipe: per draw, a noise layer at a sampled low resolution
@@ -462,24 +503,7 @@ def _perlin_mask(key, h: int, w: int):
         u = jnp.where(nearest, jnp.floor(u) + 0.5, u)
         v = jnp.where(nearest, jnp.floor(v) + 0.5, v)
         theta = jax.random.uniform(k3, (side, side), maxval=2.0 * jnp.pi)
-        i0 = jnp.floor(u)
-        j0 = jnp.floor(v)
-        fu = u - i0
-        fv = v - j0
-        i0 = i0.astype(jnp.int32)
-        j0 = j0.astype(jnp.int32)
-
-        def grad_dot(di, dj):
-            th = jnp.take(theta.reshape(-1), (i0 + di) * side + (j0 + dj))
-            return jnp.sin(th) * (fu - di) + jnp.cos(th) * (fv - dj)
-
-        def fade(t):
-            return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
-
-        wu, wv = fade(fu), fade(fv)
-        n0 = grad_dot(0, 0) * (1 - wv) + grad_dot(0, 1) * wv
-        n1 = grad_dot(1, 0) * (1 - wv) + grad_dot(1, 1) * wv
-        val = n0 * (1 - wu) + n1 * wu  # ~[-0.707, 0.707]
+        val = _perlin_eval(theta, u, v)  # ~[-0.707, 0.707]
         return jnp.clip(0.5 + val * (0.5 / 0.70710678), 0.0, 1.0)
 
     mask = jnp.zeros((h, w), jnp.float32)
@@ -819,15 +843,20 @@ def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
             coarse = coarse * s * jnp.array([h, w], jnp.float32)
             disp = disp + jnp.where(on, coarse, jnp.zeros(()))
         # border mode ~ ia.ALL and cval ~ U(0,255) apply to the crop&pad/
-        # affine resample; when neither fired the composite's other members
-        # keep their imgaug defaults (constant-0 borders)
-        mode = jnp.where(any_warp, jax.random.randint(ks[11], (), 0, 5), 0)
+        # affine IMAGE resample (heavy/aug2; the light pipelines pin
+        # mode='constant'); when neither fired the composite's other
+        # members keep their imgaug defaults (constant-0 borders)
+        if cfg.border_mode_all:
+            mode = jnp.where(any_warp, jax.random.randint(ks[11], (), 0, 5), 0)
+        else:
+            mode = None
         cval = jnp.where(any_warp, jax.random.uniform(ks[6], minval=0.0, maxval=255.0), 0.0)
         img = _warp_one(img, M, disp, order=1, cval=cval, mode=mode, snap=snap)
         if mask is not None:
-            m = _warp_one(
-                mask[..., None].astype(jnp.float32), M, disp, order=0, cval=0.0, mode=mode
-            )
+            # imgaug warps segmentation maps with constant-0 borders even
+            # when the image samples ia.ALL (Affine/CropAndPad hardcode
+            # mode="constant", cval=0 for segmaps)
+            m = _warp_one(mask[..., None].astype(jnp.float32), M, disp, order=0, cval=0.0)
             mask = m[..., 0].astype(jnp.int32)
 
         if not intensity_first:

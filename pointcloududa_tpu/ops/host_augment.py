@@ -62,7 +62,7 @@ def _affine_mat(rng, h, w, cfg: "augment_cfg.AugmentConfig", cp_after=False):
     m = np.zeros((2, 3))
     m[0, 0], m[0, 1], m[0, 2] = a[1, 1], a[1, 0], offset[1]  # cv2 (x, y)
     m[1, 0], m[1, 1], m[1, 2] = a[0, 1], a[0, 0], offset[0]
-    return m, (gate_aff or gate_cp)
+    return m, (gate_aff or gate_cp), gate_aff
 
 
 def _kernel3(alpha, eff):
@@ -349,7 +349,7 @@ def augment_batch(
         if rng.uniform() < cfg.flipud:
             img = img[::-1]
             msk = None if msk is None else msk[::-1]
-        m, warped = _affine_mat(rng, h, w, cfg, cp_after=intensity_first)
+        m, warped, aff_fired = _affine_mat(rng, h, w, cfg, cp_after=intensity_first)
         persp_on = (14 in active) if exact else (
             cfg.perspective_prob > 0 and rng.uniform() < cfg.perspective_prob
         )
@@ -367,19 +367,32 @@ def augment_batch(
                     msk.astype(np.float32), hmat, (w, h), flags=cv2.INTER_NEAREST
                 ).astype(masks.dtype)
         if warped:
-            order = cv2.INTER_NEAREST if rng.uniform() < 0.5 else cv2.INTER_LINEAR
+            # iaa.Affine's order=[0, 1] draw belongs to the affine only — a
+            # crop&pad-only warp resamples bilinearly (device twin: the snap
+            # coin is gated on gate_aff, augment.py _affine_inverse)
+            order = (
+                cv2.INTER_NEAREST
+                if (aff_fired and rng.uniform() < 0.5)
+                else cv2.INTER_LINEAR
+            )
             cval = float(rng.uniform(0, 255))
-            border = cv2_border[int(rng.integers(0, 5))]  # pad_mode/mode=ia.ALL
+            # pad_mode/mode=ia.ALL (heavy/aug2); light pins constant
+            border = (
+                cv2_border[int(rng.integers(0, 5))]
+                if cfg.border_mode_all
+                else cv2.BORDER_CONSTANT
+            )
             img = cv2.warpAffine(
                 img, m, (w, h), flags=order, borderMode=border, borderValue=(cval,) * 3
             )
             if img.ndim == 2:
                 img = img[..., None]
             if msk is not None:
+                # imgaug segmaps: constant-0 regardless of the image mode
                 msk = cv2.warpAffine(
                     msk.astype(np.float32), m, (w, h), flags=cv2.INTER_NEAREST,
-                    borderMode=border,
-                    borderValue=0,  # constant-mode mask fill stays 0
+                    borderMode=cv2.BORDER_CONSTANT,
+                    borderValue=0,
                 ).astype(masks.dtype)
         # elastic + piecewise displacement fields via one remap
         disp = None

@@ -364,3 +364,96 @@ def test_label_preservation_under_heavy_geometry():
     assert set(np.unique(out_m)) <= {0, 1, 2}
     kept = np.mean([set(np.unique(m)) == {0, 1, 2} for m in out_m])
     assert kept >= 0.8
+
+
+def test_perlin_eval_matches_scalar_oracle():
+    """Golden-value test for the Perlin core (CLAUDE.md rule): a scalar
+    per-pixel loop implementing Perlin's published definition — unit
+    gradient (sin a, cos a) per lattice node, gradient-dot-offset at the
+    four cell corners, quintic smoothstep 6t^5 - 15t^4 + 10t^3, bilinear
+    blend — written independently of the vectorised device kernel."""
+    rng = np.random.default_rng(7)
+    side = 5
+    theta = rng.uniform(0, 2 * np.pi, size=(side, side))
+    h = w = 12
+    u = rng.uniform(0.0, 3.0, size=(h, w))  # stays inside the lattice
+    v = rng.uniform(0.0, 3.0, size=(h, w))
+
+    want = np.zeros((h, w))
+    for y in range(h):
+        for x in range(w):
+            uu, vv = u[y, x], v[y, x]
+            i0, j0 = int(np.floor(uu)), int(np.floor(vv))
+            fu, fv = uu - i0, vv - j0
+
+            def dot(di, dj):
+                a = theta[i0 + di, j0 + dj]
+                return np.sin(a) * (fu - di) + np.cos(a) * (fv - dj)
+
+            def smooth(t):
+                return 6 * t**5 - 15 * t**4 + 10 * t**3
+
+            wu, wv = smooth(fu), smooth(fv)
+            n0 = dot(0, 0) * (1 - wv) + dot(0, 1) * wv
+            n1 = dot(1, 0) * (1 - wv) + dot(1, 1) * wv
+            want[y, x] = n0 * (1 - wu) + n1 * wu
+
+    got = np.asarray(
+        augment._perlin_eval(
+            jnp.asarray(theta, jnp.float32),
+            jnp.asarray(u, jnp.float32),
+            jnp.asarray(v, jnp.float32),
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_mask_borders_constant_zero_under_ia_all():
+    """imgaug warps segmentation maps with constant-0 borders even when the
+    image samples mode=ia.ALL (Affine/CropAndPad hardcode constant-0 for
+    segmaps): force a strong pad (content shrink) on every sample with an
+    all-ones mask — the vacated border must be label 0 in EVERY sample,
+    never edge-replicated or wrapped 1s."""
+    cfg = augment.AugmentConfig(
+        **{**ALL_OFF, "croppad_prob": 1.0, "croppad": (0.3, 0.4)}
+    )
+    assert cfg.border_mode_all  # the IMAGE border does sample ia.ALL here
+    n = 32
+    imgs = np.full((n, 32, 32, 1), 128, np.uint8)
+    masks = np.ones((n, 32, 32), np.int32)
+    fn = augment.make_augment_fn(cfg)
+    _, out = fn(jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(masks))
+    out = np.asarray(out)
+    # pad >= 0.3 => content occupies <= 1/1.3 of the frame => >= 3 px border
+    assert (out[:, :2, :] == 0).all() and (out[:, -2:, :] == 0).all()
+    assert (out[:, :, :2] == 0).all() and (out[:, :, -2:] == 0).all()
+
+
+def test_light_pipeline_pins_constant_border():
+    """The light pipelines' Affine uses mode='constant' only
+    (data_generator_mscmrseg.py:153, data_generator_mmwhs.py:101): under a
+    forced +50% translation of an x-gradient image, the vacated band must
+    be one constant fill value per sample. The same setup with
+    border_mode_all=True must produce folded (non-constant) bands in some
+    samples — the knob is live, not decorative."""
+    n = 40
+    grad = np.clip(30 + 5 * np.arange(32), 0, 255).astype(np.uint8)
+    imgs = np.broadcast_to(grad[None, None, :, None], (n, 32, 32, 1)).copy()
+    base = {
+        **ALL_OFF,
+        "affine_prob": 1.0,
+        "scale": (1.0, 1.0),
+        "rotate": (0.0, 0.0),
+        "shear": (0.0, 0.0),
+        "translate": (0.5, 0.5),
+    }
+
+    def vacated_stds(border_mode_all):
+        cfg = augment.AugmentConfig(**base, border_mode_all=border_mode_all)
+        fn = augment.make_augment_fn(cfg)
+        out, _ = fn(jax.random.PRNGKey(3), jnp.asarray(imgs), None)
+        region = np.asarray(out)[:, 2:10, 2:10, 0]  # inside the vacated zone
+        return region.std(axis=(1, 2))
+
+    assert (vacated_stds(False) < 1e-3).all()  # constant fill everywhere
+    assert (vacated_stds(True) > 1.0).any()  # ia.ALL folds the gradient
