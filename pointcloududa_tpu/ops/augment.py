@@ -38,8 +38,9 @@ imgaug's repeated resampling, but per-op border/order settings merge into
 the composite's); only two of the k! SomeOf application orders are
 realised; the Perlin basis stands in for OpenSimplex and the sigmoid
 shaping constants are best-effort (imgaug is not installable in this
-environment — see TODO.md); directed edge detect uses the isotropic
-kernel; superpixels run at <=128px internal resolution exactly like
+environment — see TODO.md); directed edge detect follows imgaug's
+direction-weighted kernel construction but is unverifiable against imgaug
+here (same blocker); superpixels run at <=128px internal resolution exactly like
 imgaug's ``max_size=128`` but with a k-means SLIC approximation.
 
 Masks are warped with nearest-neighbour sampling, constant-0 borders
@@ -443,6 +444,31 @@ def _emboss(img, alpha, strength):
     return _conv3(img, (1.0 - alpha) * ident + alpha * eff)
 
 
+def _directed_edge_kernel(direction):
+    """3x3 ``iaa.DirectedEdgeDetect`` effect matrix for ``direction`` ~
+    U(0, 1) (0 = from the top, clockwise).
+
+    imgaug's construction: quantise the angle to whole degrees
+    (``int(direction*360) % 360``), take the unit direction vector, weight
+    each of the 8 neighbour cells by ``(1 - angle_between/180°)^4``,
+    normalise the weights to sum 1, negate, and set the centre to 1 — i.e.
+    centre minus a direction-weighted neighbourhood average. Golden-tested
+    against a scalar-loop oracle (test_augment_distribution.py); an A/B
+    against imgaug itself is blocked in this environment (TODO.md).
+    """
+    deg = jnp.mod(jnp.floor(direction * 360.0), 360.0)
+    rad = jnp.deg2rad(deg) - 0.5 * jnp.pi
+    dx, dy = jnp.cos(rad), jnp.sin(rad)
+    offs = jnp.array([-1.0, 0.0, 1.0])
+    gx, gy = jnp.meshgrid(offs, offs, indexing="xy")  # [y+1, x+1] cell (x, y)
+    norm = jnp.sqrt(gx * gx + gy * gy)
+    cosang = jnp.clip((gx * dx + gy * dy) / jnp.where(norm == 0, 1.0, norm), -1.0, 1.0)
+    sim = (1.0 - jnp.arccos(cosang) / jnp.pi) ** 4
+    sim = sim.at[1, 1].set(0.0)
+    m = -sim / jnp.sum(sim)
+    return m.at[1, 1].set(1.0)
+
+
 _PERLIN_G = 16  # max lattice cells across a dimension (imgaug size_px_max hi)
 
 
@@ -516,16 +542,19 @@ def _perlin_mask(key, h: int, w: int):
 def _simplex_edge(key, img, cfg: AugmentConfig):
     """iaa.SimplexNoiseAlpha(OneOf(EdgeDetect, DirectedEdgeDetect)).
 
-    Edge response: laplacian kernel blended by alpha ~ U(0.5, 1) (the
-    directed variant is approximated by the same isotropic kernel). The
-    alpha mask is gradient (Perlin) noise at imgaug's sampled granularity
-    with max-aggregated draws and sigmoid shaping (:func:`_perlin_mask`)."""
+    The OneOf coin picks the isotropic laplacian (EdgeDetect) or the
+    direction-weighted kernel (:func:`_directed_edge_kernel`, direction ~
+    U(0, 1)), blended with identity by alpha ~ U(0.5, 1). The alpha mask is
+    gradient (Perlin) noise at imgaug's sampled granularity with
+    max-aggregated draws and sigmoid shaping (:func:`_perlin_mask`)."""
     h, w, _ = img.shape
-    ks = jax.random.split(key, 2)
+    ks = jax.random.split(key, 4)
     alpha = _u(ks[0], cfg.edge_alpha)
     lap = jnp.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
+    directed = jax.random.uniform(ks[2]) < 0.5
+    eff = jnp.where(directed, _directed_edge_kernel(jax.random.uniform(ks[3])), lap)
     ident = jnp.zeros((3, 3)).at[1, 1].set(1.0)
-    edged = jnp.clip(_conv3(img, (1.0 - alpha) * ident + alpha * lap), 0.0, 255.0)
+    edged = jnp.clip(_conv3(img, (1.0 - alpha) * ident + alpha * eff), 0.0, 255.0)
     mask = _perlin_mask(ks[1], h, w)[..., None]
     return mask * edged + (1.0 - mask) * img
 

@@ -128,6 +128,23 @@ def someof_draw_np(rng, cfg):
     return kept, set(kept)
 
 
+def _directed_edge_kernel_np(direction):
+    """numpy twin of the device ``_directed_edge_kernel`` (iaa.
+    DirectedEdgeDetect effect matrix: degree-quantised direction, neighbour
+    weights (1 - angle/180)^4 normalised, negated, centre 1)."""
+    rad = np.deg2rad(np.floor(direction * 360.0) % 360.0) - 0.5 * np.pi
+    dx, dy = np.cos(rad), np.sin(rad)
+    offs = np.array([-1.0, 0.0, 1.0])
+    gx, gy = np.meshgrid(offs, offs, indexing="xy")
+    norm = np.sqrt(gx * gx + gy * gy)
+    cosang = np.clip((gx * dx + gy * dy) / np.where(norm == 0, 1.0, norm), -1.0, 1.0)
+    sim = (1.0 - np.arccos(cosang) / np.pi) ** 4
+    sim[1, 1] = 0.0
+    m = -sim / sim.sum()
+    m[1, 1] = 1.0
+    return m.astype(np.float32)
+
+
 def _perlin_mask_np(rng, h, w):
     """numpy twin of the device ``_perlin_mask`` (gradient noise, sampled
     granularity, 1-3 max-aggregated draws, sigmoid shaping)."""
@@ -215,8 +232,11 @@ def _intensity_np(rng, img, cfg, order=None, active=None):
 
     def e_simplex(img):
         a = rng.uniform(*cfg.edge_alpha)
-        lap = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], np.float32)
-        edged = np.clip(as3(cv2.filter2D(img, -1, _kernel3(a, lap))), 0, 255)
+        if rng.uniform() < 0.5:  # OneOf: directed variant
+            eff = _directed_edge_kernel_np(rng.uniform())
+        else:
+            eff = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], np.float32)
+        edged = np.clip(as3(cv2.filter2D(img, -1, _kernel3(a, eff))), 0, 255)
         m = _perlin_mask_np(rng, h, w)[..., None]
         return m * edged + (1 - m) * img
 

@@ -457,3 +457,39 @@ def test_light_pipeline_pins_constant_border():
 
     assert (vacated_stds(False) < 1e-3).all()  # constant fill everywhere
     assert (vacated_stds(True) > 1.0).any()  # ia.ALL folds the gradient
+
+
+@pytest.mark.parametrize("direction", [0.0, 0.13, 0.25, 0.5, 0.77])
+def test_directed_edge_kernel_matches_scalar_oracle(direction):
+    """Golden-value test for the DirectedEdgeDetect effect matrix: a scalar
+    loop over the 8 neighbour cells computing the angle between each cell
+    offset and the (degree-quantised) direction vector via the dot-product
+    definition, weighting by (1 - angle/180)^4, normalising, negating, and
+    setting the centre to 1 — independent of the vectorised kernels."""
+    import math
+
+    deg = math.floor(direction * 360.0) % 360.0
+    rad = math.radians(deg) - 0.5 * math.pi
+    dvx, dvy = math.cos(rad), math.sin(rad)
+    want = np.zeros((3, 3))
+    for cy in (-1, 0, 1):
+        for cx in (-1, 0, 1):
+            if (cx, cy) == (0, 0):
+                continue
+            dot = cx * dvx + cy * dvy
+            ang = math.acos(max(-1.0, min(1.0, dot / math.hypot(cx, cy))))
+            want[cy + 1, cx + 1] = (1.0 - math.degrees(ang) / 180.0) ** 4
+    want = -want / want.sum()
+    want[1, 1] = 1.0
+
+    got = np.asarray(augment._directed_edge_kernel(jnp.float32(direction)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    from pointcloududa_tpu.ops import host_augment
+
+    np.testing.assert_allclose(
+        host_augment._directed_edge_kernel_np(direction), want, atol=1e-5
+    )
+    # direction 0 = from the top: the top-centre cell carries the largest
+    # neighbour weight (most negative after negation)
+    if direction == 0.0:
+        assert got[0, 1] == got.min()
