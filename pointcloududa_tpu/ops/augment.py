@@ -84,6 +84,10 @@ class AugmentConfig:
     sometimes_p: float = 0.5  # the Sometimes(0.5) wrap on entries {0,12,13,14}
     scale: Tuple[float, float] = (0.8, 1.2)
     translate: Tuple[float, float] = (-0.2, 0.2)
+    # per-axis x override for iaa.Affine translate_percent={"x": ..., "y":
+    # translate}; None = same range as `translate` (the heavy pipeline is
+    # x/y-symmetric, the light one is not)
+    translate_x: "Tuple[float, float] | None" = None
     rotate: Tuple[float, float] = (-45.0, 45.0)
     shear: Tuple[float, float] = (-16.0, 16.0)
     # ---- SomeOf((0,5)) family: per-entry gate (2.5/15 for heavy); the
@@ -142,14 +146,19 @@ def medium() -> AugmentConfig:
 
 
 def light() -> AugmentConfig:
-    """``simple_aug``/``light_aug``: flips + gentle affine, no intensity
-    (``data_generator_mscmrseg.py:134-167``, ``data_generator_mmwhs.py:87-122``)."""
+    """``light_aug``: flips + gentle affine, no intensity
+    (``data_generator_mmwhs.py:87-122`` — the only light pipeline the
+    reference ever CALLS, from its MM-WHS generator at ``:253``; the
+    similar ``simple_aug`` in ``data_generator_mscmrseg.py:134-167`` with
+    gates 0.3/0.3/0.45 is dead code). Gates 0.2/0.2/0.3; the affine
+    translate range is per-axis asymmetric (x (-0.1, 0.05), y (-0.1, 0.1))."""
     return AugmentConfig(
-        fliplr=0.3,
-        flipud=0.3,
+        fliplr=0.2,
+        flipud=0.2,
         croppad_prob=0.0,
-        affine_prob=0.45,
+        affine_prob=0.3,
         translate=(-0.1, 0.1),
+        translate_x=(-0.1, 0.05),
         rotate=(-10.0, 10.0),
         shear=(-12.0, 12.0),
         someof_n=0,
@@ -217,7 +226,15 @@ def _affine_inverse(key, cfg: AugmentConfig, h: int, w: int, cp_after: bool = Fa
     sx = sx / (1.0 + cp)
     theta = jnp.deg2rad(jnp.where(gate_aff, _u(ks[5], cfg.rotate), 0.0))
     shear = jnp.deg2rad(jnp.where(gate_aff, _u(ks[6], cfg.shear), 0.0))
-    t = jnp.where(gate_aff, _u(ks[7], cfg.translate, (2,)), jnp.zeros(2))
+    tx_range = cfg.translate_x if cfg.translate_x is not None else cfg.translate
+    u2 = jax.random.uniform(ks[7], (2,))
+    t_raw = jnp.stack(
+        [
+            cfg.translate[0] + u2[0] * (cfg.translate[1] - cfg.translate[0]),
+            tx_range[0] + u2[1] * (tx_range[1] - tx_range[0]),
+        ]
+    )
+    t = jnp.where(gate_aff, t_raw, jnp.zeros(2))
     if cp_after:
         # crop/pad applied after the affine rescales its translation too
         t = t / (1.0 + cp)

@@ -48,7 +48,12 @@ def _affine_mat(rng, h, w, cfg: "augment_cfg.AugmentConfig", cp_after=False):
     sy, sx = sy / (1.0 + cp), sx / (1.0 + cp)
     theta = np.deg2rad(rng.uniform(*cfg.rotate)) if gate_aff else 0.0
     sh = np.deg2rad(rng.uniform(*cfg.shear)) if gate_aff else 0.0
-    t = rng.uniform(*cfg.translate, size=2) if gate_aff else np.zeros(2)
+    tx_range = cfg.translate_x if cfg.translate_x is not None else cfg.translate
+    t = (
+        np.array([rng.uniform(*cfg.translate), rng.uniform(*tx_range)])
+        if gate_aff
+        else np.zeros(2)
+    )  # (ty, tx): per-axis translate_percent ranges (light: x (-0.1, 0.05))
     if cp_after:
         t = t / (1.0 + cp)
     ty, tx = t[0] * h, t[1] * w

@@ -459,6 +459,22 @@ def test_light_pipeline_pins_constant_border():
     assert (vacated_stds(True) > 1.0).any()  # ia.ALL folds the gradient
 
 
+def test_light_config_matches_live_light_aug():
+    """light() models the reference's LIVE light pipeline — MM-WHS
+    ``light_aug`` (data_generator_mmwhs.py:87-122, called at :253) with
+    gates Fliplr(0.2)/Flipud(0.2)/Sometimes(0.3, Affine) and the per-axis
+    asymmetric translate_percent x (-0.1, 0.05), y (-0.1, 0.1) — not the
+    dead ``simple_aug`` (0.3/0.3/0.45, never called by the reference)."""
+    cfg = augment.light()
+    assert (cfg.fliplr, cfg.flipud, cfg.affine_prob) == (0.2, 0.2, 0.3)
+    assert cfg.translate == (-0.1, 0.1)  # y range
+    assert cfg.translate_x == (-0.1, 0.05)  # x range
+    assert cfg.rotate == (-10.0, 10.0) and cfg.shear == (-12.0, 12.0)
+    # heavy/medium are x/y-symmetric: no override
+    assert augment.heavy().translate_x is None
+    assert augment.medium().translate_x is None
+
+
 @pytest.mark.parametrize("direction", [0.0, 0.13, 0.25, 0.5, 0.77])
 def test_directed_edge_kernel_matches_scalar_oracle(direction):
     """Golden-value test for the DirectedEdgeDetect effect matrix: a scalar
