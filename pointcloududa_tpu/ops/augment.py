@@ -22,21 +22,32 @@ scikit-image modes (constant/edge/symmetric/reflect/wrap) with cval ~
 U(0, 255), per ``mode=ia.ALL``/``pad_mode=ia.ALL`` — heavy/aug2 only: the
 light pipelines pin ``mode='constant'`` exactly like the reference
 (``border_mode_all=False``); the affine image
-resample order is sampled from {nearest, bilinear} (``order=[0, 1]``); the
+resample order is sampled from {nearest, bilinear} (``order=[0, 1]``);
+crop&pad percents are sampled PER SIDE (``sample_independently=True``);
+the affine translate ranges are per-axis (``translate_x``); the
 simplex alpha mask is gradient (Perlin) noise at imgaug's sampled
 ``size_px_max (2, 16)`` granularity with linear/nearest upscale,
 1-3 max-aggregated octave draws and sigmoid shaping; coarse-dropout grid
 granularity is sampled per-application from ``size_percent (0.02, 0.05)``.
-``random_order=True`` (both the outer Sequential and the SomeOf) is
-realised per-sample at zero cost by compiling two static variants —
-geometry-first/forward-SomeOf and intensity-first/reversed-SomeOf — and
-assigning each half of the (already shuffled) batch to one.
+``random_order=True`` (both the outer Sequential and the SomeOf) follows
+imgaug's PER-BATCH semantics exactly: the child order is drawn once per
+batch (imgaug's meta augmenters iterate children over the whole batch in
+one permutation), so a (5,) outer order and a (12,) SomeOf order are drawn
+per batch; the four linear outer children compose into the warp matrix in
+the drawn order (exact), and the intensity entries apply in the drawn
+12!-order via ``lax.scan`` over positions with an unbatched ``lax.switch``
+(one entry kernel per position — fixed-chain cost).
 
 Remaining distribution-level deviations, each minor and documented inline:
 all geometry still composes into ONE resample (higher fidelity than
 imgaug's repeated resampling, but per-op border/order settings merge into
-the composite's); only two of the k! SomeOf application orders are
-realised; the Perlin basis stands in for OpenSimplex and the sigmoid
+the composite's) — hence the flips hold their drawn slot inside the warp
+rather than interleaving with intensity entries, the three SomeOf geometry
+members (elastic/piecewise/perspective) ride at the warp boundary instead
+of their drawn slot among the intensity entries, and when the SomeOf child
+lands strictly between the two warp children the intensity block's side is
+resolved by a fair coin (the marginal order vs either warp child stays
+exact); the Perlin basis stands in for OpenSimplex and the sigmoid
 shaping constants are best-effort (imgaug is not installable in this
 environment — see TODO.md); directed edge detect follows imgaug's
 direction-weighted kernel construction but is unverifiable against imgaug
@@ -199,35 +210,56 @@ def _u(key, lo_hi, shape=()):
 
 
 # --------------------------------------------------------------------- #
-# geometry: ONE projective warp per image (affine o perspective), plus an
-# additive displacement field (elastic + piecewise-affine)
-def _affine_inverse(key, cfg: AugmentConfig, h: int, w: int, cp_after: bool = False):
-    """3x3 homogeneous inverse map (output (y,x,1) -> input) for
-    flips-excluded geometry: crop&pad + affine (iaa ranges).
+# geometry: ONE projective warp per image — the four LINEAR outer children
+# (flips, crop&pad, affine) as per-sample inverse matrices composed in the
+# per-batch drawn order, times perspective, plus an additive displacement
+# field (elastic + piecewise-affine)
+def _child_matrices(key, cfg: AugmentConfig, h: int, w: int):
+    """Per-sample inverse 3x3 maps (output (y,x,1) -> input) for the four
+    linear outer-Sequential children, indexed [Fliplr, Flipud, CropAndPad,
+    Affine]; identity when a child does not fire. The caller composes them
+    in the per-batch drawn application order (``random_order=True``) —
+    exact, since all four are affine maps.
 
-    ``cp_after``: compose CropAndPad AFTER Affine (the outer Sequential's
-    ``random_order=True`` — the isotropic crop/pad scale commutes with the
-    linear part exactly, so the order only rescales the translation).
-    Also returns ``(any_warp, snap_nearest)``: whether either op fired (the
-    border mode/cval sampling applies only then — other composite members
-    default to constant-0), and the iaa.Affine ``order=[0, 1]`` draw
+    CropAndPad samples its percent PER SIDE (top, bottom, left, right),
+    matching ``iaa.CropAndPad(percent=(lo, hi))`` with the default
+    ``sample_independently=True``; with ``keep_size=True`` the forward map
+    per axis is out = (in + 0.5 + p_lo*n) / (1 + p_lo + p_hi) - 0.5
+    (pixel-center resize convention).
+
+    Returns ``(mats (4, 3, 3), any_warp, snap)``: ``any_warp`` = crop&pad
+    or affine fired (border mode/cval sampling applies only then — flips
+    vacate nothing); ``snap`` = the iaa.Affine ``order=[0, 1]`` draw
     (nearest-neighbour image resample half the time the affine fires).
     """
-    ks = jax.random.split(key, 9)
-    gate_aff = jax.random.uniform(ks[0]) < cfg.affine_prob
-    gate_cp = jax.random.uniform(ks[1]) < cfg.croppad_prob
+    ks = jax.random.split(key, 11)
+    eye = jnp.eye(3)
+    gate_lr = jax.random.uniform(ks[0]) < cfg.fliplr
+    gate_ud = jax.random.uniform(ks[1]) < cfg.flipud
+    m_lr = jnp.array([[1.0, 0.0, 0.0], [0.0, -1.0, w - 1.0], [0.0, 0.0, 1.0]])
+    m_ud = jnp.array([[-1.0, 0.0, h - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    m_lr = jnp.where(gate_lr, m_lr, eye)
+    m_ud = jnp.where(gate_ud, m_ud, eye)
 
-    sy = jnp.where(gate_aff, _u(ks[2], cfg.scale), 1.0)
-    sx = jnp.where(gate_aff, _u(ks[3], cfg.scale), 1.0)
-    # crop&pad percent p: pad p>0 => content shrinks (scale 1/(1+p));
-    # crop p<0 => content zooms in
-    cp = jnp.where(gate_cp, _u(ks[4], cfg.croppad), 0.0)
-    sy = sy / (1.0 + cp)
-    sx = sx / (1.0 + cp)
-    theta = jnp.deg2rad(jnp.where(gate_aff, _u(ks[5], cfg.rotate), 0.0))
-    shear = jnp.deg2rad(jnp.where(gate_aff, _u(ks[6], cfg.shear), 0.0))
+    gate_cp = jax.random.uniform(ks[2]) < cfg.croppad_prob
+    p4 = jnp.where(gate_cp, _u(ks[3], cfg.croppad, (4,)), jnp.zeros(4))  # t, b, l, r
+    sy_cp = 1.0 + p4[0] + p4[1]
+    sx_cp = 1.0 + p4[2] + p4[3]
+    m_cp = jnp.array(
+        [
+            [sy_cp, 0.0, 0.5 * (sy_cp - 1.0) - p4[0] * h],
+            [0.0, sx_cp, 0.5 * (sx_cp - 1.0) - p4[2] * w],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+
+    gate_aff = jax.random.uniform(ks[4]) < cfg.affine_prob
+    sy = jnp.where(gate_aff, _u(ks[5], cfg.scale), 1.0)
+    sx = jnp.where(gate_aff, _u(ks[6], cfg.scale), 1.0)
+    theta = jnp.deg2rad(jnp.where(gate_aff, _u(ks[7], cfg.rotate), 0.0))
+    shear = jnp.deg2rad(jnp.where(gate_aff, _u(ks[8], cfg.shear), 0.0))
     tx_range = cfg.translate_x if cfg.translate_x is not None else cfg.translate
-    u2 = jax.random.uniform(ks[7], (2,))
+    u2 = jax.random.uniform(ks[9], (2,))
     t_raw = jnp.stack(
         [
             cfg.translate[0] + u2[0] * (cfg.translate[1] - cfg.translate[0]),
@@ -235,9 +267,6 @@ def _affine_inverse(key, cfg: AugmentConfig, h: int, w: int, cp_after: bool = Fa
         ]
     )
     t = jnp.where(gate_aff, t_raw, jnp.zeros(2))
-    if cp_after:
-        # crop/pad applied after the affine rescales its translation too
-        t = t / (1.0 + cp)
     ty, tx = t[0] * h, t[1] * w
 
     cos, sin = jnp.cos(theta), jnp.sin(theta)
@@ -252,15 +281,15 @@ def _affine_inverse(key, cfg: AugmentConfig, h: int, w: int, cp_after: bool = Fa
     shift = c + jnp.array([ty, tx])
     # input = inv @ (out - shift) + c, as one homogeneous matrix
     trans = c - inv @ shift
-    M = jnp.array(
+    m_aff = jnp.array(
         [
             [inv[0, 0], inv[0, 1], trans[0]],
             [inv[1, 0], inv[1, 1], trans[1]],
             [0.0, 0.0, 1.0],
         ]
     )
-    snap = gate_aff & (jax.random.uniform(ks[8]) < 0.5)
-    return M, gate_aff | gate_cp, snap
+    snap = gate_aff & (jax.random.uniform(ks[10]) < 0.5)
+    return jnp.stack([m_lr, m_ud, m_cp, m_aff]), gate_aff | gate_cp, snap
 
 
 def _perspective_inverse(key, cfg: AugmentConfig, h: int, w: int, gate=None):
@@ -691,42 +720,13 @@ def _superpixels(key, img, cfg: AugmentConfig):
     return jnp.where(rep[seg_img][..., None], mean_col[seg_img], img)
 
 
-def _intensity_ops(key, img, cfg: AugmentConfig, active=None, reverse: bool = False):
-    """The SomeOf((0,5)) family on one (H, W, C) float image in [0, 255].
-
-    ``active``: (15,) bool vector from :func:`someof_active` — the exact
-    without-replacement SomeOf draw (entries 0..11 belong here; 12..14 are
-    the in-SomeOf geometry ops, consumed by the caller's warp). With
-    ``active=None`` (legacy/test mode) entries fire independently with
-    p = ``intensity_gate`` and the ``*_prob`` fields; a STATIC probability
-    of 0 skips the op at trace time so light pipelines never pay for it.
-
-    ``reverse``: apply the entries in reversed list order — one of the two
-    compiled order variants realising imgaug's ``random_order=True``
-    (assigned per half-batch by :func:`make_augment_fn`).
-    """
-    h, w, c = img.shape
-    ks = jax.random.split(key, 40)
-    g = cfg.intensity_gate
-
-    def gate(i, entry, prob):
-        if active is not None:
-            return active[entry]
-        if prob <= 0.0:
-            return None  # static skip
-        return jax.random.uniform(ks[i]) < prob
-
-    def gated(i, entry, fn, img, prob=None):
-        on = gate(i, entry, g if prob is None else prob)
-        if on is None:
-            return img
-        return jnp.where(on, fn(img), img)
-
-    # entry 0: superpixels (Sometimes-wrapped)
-    def superpixels(img):
-        return gated(
-            0, 0, lambda im: _superpixels(ks[20], im, cfg), img, prob=cfg.superpixels_prob
-        )
+def _entry_fns(ks, cfg: AugmentConfig, c: int):
+    """The twelve intensity SomeOf entries as UNGATED single-image
+    closures (``fn(img) -> img`` on an (H, W, C) float image in [0, 255]);
+    the caller applies the gate (exact without-replacement SomeOf draw, or
+    the legacy independent gates). ``ks``: the per-sample (40, 2) subkey
+    array — each entry reads a fixed disjoint subset, so entries have
+    independent parameter streams regardless of application order."""
 
     # entry 1: blur OneOf {gaussian, average, median}
     def blur_family(im):
@@ -750,6 +750,7 @@ def _intensity_ops(key, img, cfg: AugmentConfig, active=None, reverse: bool = Fa
 
     # entry 6: dropout OneOf {pixel (pc 0.5), coarse (pc 0.2)}
     def dropout_family(im):
+        h, w = im.shape[:2]
         p = _u(ks[15], cfg.dropout)
         pc1 = jax.random.uniform(ks[30]) < 0.5
         keep_pc = (jax.random.uniform(ks[16], im.shape) >= p).astype(im.dtype)
@@ -795,37 +796,75 @@ def _intensity_ops(key, img, cfg: AugmentConfig, active=None, reverse: bool = Fa
         v_sh = jnp.broadcast_to(_u(ks[9], cfg.multiply), (c,))
         return im * jnp.where(pc, v_pc, v_sh)
 
-    entries = [
-        superpixels,
-        lambda im: gated(1, 1, blur_family, im),
-        lambda im: gated(
-            2, 2,
-            lambda x: _sharpen(x, _u(ks[25], cfg.sharpen_alpha), _u(ks[26], cfg.sharpen_lightness)),
-            im,
-        ),
-        lambda im: gated(
-            3, 3,
-            lambda x: _emboss(x, _u(ks[27], cfg.emboss_alpha), _u(ks[28], cfg.emboss_strength)),
-            im,
-        ),
-        lambda im: gated(4, 4, lambda x: _simplex_edge(ks[29], x, cfg), im),
-        lambda im: gated(5, 5, noise, im),
-        lambda im: gated(6, 6, dropout_family, im),
-        lambda im: gated(7, 7, invert, im, prob=(g if cfg.invert_prob > 0 else 0.0)),
-        lambda im: gated(8, 8, add_op, im),
-        (lambda im: gated(9, 9, lambda x: _add_hue_sat(ks[35], x, cfg.hue_sat), im))
-        if c == 3
-        else (lambda im: im),
-        lambda im: gated(10, 10, mul_op, im),
-        lambda im: gated(
-            11, 11,
-            lambda x: x + _u(ks[37], cfg.grayscale_alpha) * (jnp.mean(x, -1, keepdims=True) - x),
-            im,
-        ),
+    return [
+        lambda im: _superpixels(ks[20], im, cfg),
+        blur_family,
+        lambda im: _sharpen(im, _u(ks[25], cfg.sharpen_alpha), _u(ks[26], cfg.sharpen_lightness)),
+        lambda im: _emboss(im, _u(ks[27], cfg.emboss_alpha), _u(ks[28], cfg.emboss_strength)),
+        lambda im: _simplex_edge(ks[29], im, cfg),
+        noise,
+        dropout_family,
+        invert,
+        add_op,
+        (lambda im: _add_hue_sat(ks[35], im, cfg.hue_sat)) if c == 3 else (lambda im: im),
+        mul_op,
+        lambda im: im + _u(ks[37], cfg.grayscale_alpha) * (jnp.mean(im, -1, keepdims=True) - im),
     ]
-    for fn in reversed(entries) if reverse else entries:
-        img = fn(img)
+
+
+def _intensity_ops(key, img, cfg: AugmentConfig):
+    """LEGACY/test mode (``someof_n == 0``): the twelve intensity entries
+    applied in fixed list order with independent per-entry gates
+    (p = ``intensity_gate`` / the ``*_prob`` fields). A STATIC probability
+    of 0 skips the op at trace time so light pipelines never pay for it.
+    Production pipelines (``someof_n > 0``) use the exact per-batch-order
+    path (:func:`_apply_someof_exact`) instead."""
+    c = img.shape[-1]
+    ks = jax.random.split(key, 40)
+    fns = _entry_fns(ks, cfg, c)
+    g = cfg.intensity_gate
+    probs = [cfg.superpixels_prob] + [g] * 6 + [(g if cfg.invert_prob > 0 else 0.0)] + [g] * 4
+    for i, (fn, p) in enumerate(zip(fns, probs)):
+        if p <= 0.0:
+            continue  # static skip
+        on = jax.random.uniform(ks[i]) < p
+        img = jnp.where(on, fn(img), img)
     return jnp.clip(img, 0.0, 255.0)
+
+
+def _apply_someof_exact(keys, imgs, active, perm, cfg: AugmentConfig):
+    """Apply the twelve intensity SomeOf entries to the whole batch in the
+    per-batch drawn order ``perm`` — exact ``random_order=True`` semantics:
+    imgaug draws the child order once per BATCH (its meta augmenters
+    iterate children over the full batch in a per-batch permutation), so
+    every sample in a batch shares one of the 12! orders and the order
+    varies across batches.
+
+    Realised as ``lax.scan`` over order positions with an UNBATCHED
+    ``lax.switch`` (the order is batch-shared, so the branch index is a
+    scalar): exactly one entry's kernel executes per position — the same
+    total work as a fixed-order chain, and each entry compiles once.
+
+    ``keys``: (B,) per-sample keys; ``active``: (B, 15) bool from
+    :func:`someof_active`; ``perm``: (12,) int32 batch-shared order.
+    """
+    c = imgs.shape[-1]
+
+    def apply_entry(i):
+        def per_sample(k, im, act):
+            ks = jax.random.split(jax.random.fold_in(k, 7), 40)
+            fns = _entry_fns(ks, cfg, c)
+            return jnp.where(act[i], fns[i](im), im)
+
+        return lambda ims: jax.vmap(per_sample)(keys, ims, active)
+
+    branches = [apply_entry(i) for i in range(12)]
+
+    def body(ims, p):
+        return jax.lax.switch(p, branches, ims), None
+
+    imgs, _ = jax.lax.scan(body, imgs, perm)
+    return jnp.clip(imgs, 0.0, 255.0)
 
 
 def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
@@ -837,39 +876,46 @@ def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
     matching the reference's order of operations) and int32 masks.
 
     ``random_order=True`` (outer Sequential AND SomeOf,
-    ``data_generator_mscmrseg.py:80-83``) is realised by compiling two
-    static variants — (geometry -> intensity, forward SomeOf order) and
-    (intensity -> geometry, reversed SomeOf order; the outer shuffle also
-    swaps the crop&pad/affine composition) — and assigning each half of
-    the batch to one. The batch order is already uniformly shuffled by the
-    sampler, so the variant assignment is independent of content; this
-    captures the order distribution's first-order effects at zero runtime
-    cost (only 2 of the k! orders are realised — documented deviation).
-    """
+    ``data_generator_mscmrseg.py:80-83``) follows imgaug's PER-BATCH
+    semantics — meta augmenters iterate their children over the whole
+    batch in one per-batch permutation — realised exactly:
 
-    def one(key, img, mask, variant: int):
+    * a (5,) outer permutation of [Fliplr, Flipud, CropAndPad, Affine,
+      SomeOf] is drawn per batch; the four linear children compose into
+      the single warp matrix in that order (exact — they are all affine),
+      and the intensity block runs before/after the warp according to the
+      SomeOf child's drawn position (before both warp children -> first,
+      after both -> last, in between -> coin; the marginal order vs either
+      warp child is exact). Perspective (a SomeOf member) composes on the
+      SomeOf side of the warp product.
+    * a (12,) SomeOf permutation is drawn per batch and the intensity
+      entries are applied in exactly that order via
+      :func:`_apply_someof_exact` — all 12! orders, batch-shared like
+      imgaug, at the same runtime cost as a fixed chain.
+
+    Residual order deviations (documented in the module docstring): the
+    flip children keep their drawn position inside the composite warp
+    rather than interleaving with intensity entries, and the three SomeOf
+    geometry members (elastic/piecewise/perspective) ride at the warp
+    boundary instead of their drawn slot among the intensity entries.
+    """
+    n_int = 12 if cfg.someof_n > 0 else 0
+
+    def geo_one(key, img, mask, active, geo_seq, intensity_first):
+        """One sample's composite warp: the four linear children composed
+        in the per-batch drawn order + perspective + displacement field."""
         h, w = img.shape[:2]
         ks = jax.random.split(key, 12)
-        img = img.astype(jnp.float32)
-        active = someof_active(ks[10], cfg)
-        intensity_first = variant == 1
-
-        if intensity_first:
-            img = _intensity_ops(jax.random.fold_in(key, 7), img, cfg, active, reverse=True)
-
-        flip_lr = jax.random.uniform(ks[0]) < cfg.fliplr
-        flip_ud = jax.random.uniform(ks[1]) < cfg.flipud
-        img = jnp.where(flip_lr, img[:, ::-1], img)
-        img = jnp.where(flip_ud, img[::-1], img)
-        if mask is not None:
-            mask = jnp.where(flip_lr, mask[:, ::-1], mask)
-            mask = jnp.where(flip_ud, mask[::-1], mask)
-
-        M, any_warp, snap = _affine_inverse(ks[2], cfg, h, w, cp_after=intensity_first)
+        mats, any_warp, snap = _child_matrices(ks[2], cfg, h, w)
+        M = mats[geo_seq[0]]
+        for p in range(1, 4):
+            M = M @ mats[geo_seq[p]]
         persp_on = active[14] if (active is not None and cfg.someof_n > 14) else None
         if persp_on is not None or cfg.perspective_prob > 0:
-            # inverse maps compose right-to-left: perspective then affine
-            M = M @ _perspective_inverse(ks[7], cfg, h, w, gate=persp_on)
+            # inverse maps compose right-to-left; perspective is a SomeOf
+            # member, so it sits on the SomeOf side of the product
+            P = _perspective_inverse(ks[7], cfg, h, w, gate=persp_on)
+            M = jnp.where(intensity_first, P @ M, M @ P)
         disp = jnp.zeros((h, w, 2), jnp.float32)
         el_on = active[12] if (active is not None and cfg.someof_n > 12) else None
         if elastic_field and (el_on is not None or cfg.elastic_prob > 0):
@@ -904,29 +950,80 @@ def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
             # mode="constant", cval=0 for segmaps)
             m = _warp_one(mask[..., None].astype(jnp.float32), M, disp, order=0, cval=0.0)
             mask = m[..., 0].astype(jnp.int32)
-
-        if not intensity_first:
-            img = _intensity_ops(jax.random.fold_in(key, 7), img, cfg, active)
         return img, mask
 
-    def batch_apply(keys, images, masks):
-        half = images.shape[0] // 2
-
-        def run(variant, k, im, mk):
-            if mk is None:
-                return jax.vmap(lambda a, b: one(a, b, None, variant)[0])(k, im), None
-            return jax.vmap(lambda a, b, c: one(a, b, c, variant))(k, im, mk)
-
-        if half == 0:
-            return run(0, keys, images, masks)
-        i1, m1 = run(0, keys[:half], images[:half], None if masks is None else masks[:half])
-        i2, m2 = run(1, keys[half:], images[half:], None if masks is None else masks[half:])
-        img = jnp.concatenate([i1, i2])
-        return img, None if masks is None else jnp.concatenate([m1, m2])
+    def _sample_active(k):
+        # same subkey slot the geometry block leaves unused (ks[10])
+        return someof_active(jax.random.split(k, 12)[10], cfg)
 
     @jax.jit
     def augment(rng, images, masks=None):
-        keys = jax.random.split(rng, images.shape[0])
-        return batch_apply(keys, images, masks)
+        b = images.shape[0]
+        k_order, k_perm, k_coin, kb = jax.random.split(rng, 4)
+        keys = jax.random.split(kb, b)
+        images = images.astype(jnp.float32)
+        if masks is not None:
+            masks = masks.astype(jnp.int32)
+        # per-batch outer order of [Fliplr, Flipud, CropAndPad, Affine, SomeOf]
+        order5 = jax.random.permutation(k_order, 5)
+        pos = jnp.argsort(order5)  # pos[child] = application position
+        geo_seq = jnp.argsort(pos[:4])  # the 4 linear children, in order
+
+        if n_int == 0:
+            # light/legacy: drawn order among the linear geometry children
+            # (flips vs affine — light's Sequential is random_order too);
+            # fixed-order independent-gate intensity (test mode only)
+            def one(k, im, mk):
+                im, mk = geo_one(k, im, mk, None, geo_seq, jnp.bool_(False))
+                im = _intensity_ops(jax.random.fold_in(k, 7), im, cfg)
+                return im, mk
+
+            if masks is None:
+                return jax.vmap(lambda k, im: one(k, im, None)[0])(keys, images), None
+            return jax.vmap(one)(keys, images, masks)
+
+        # SomeOf position vs the two warp children decides whether the
+        # intensity block precedes the composite warp
+        sp, cpp, afp = pos[4], pos[2], pos[3]
+        before = (sp < cpp) & (sp < afp)
+        after = (sp > cpp) & (sp > afp)
+        coin = jax.random.uniform(k_coin) < 0.5
+        intensity_first = before | ((~after) & coin)
+        perm12 = jax.random.permutation(k_perm, n_int)
+        active = jax.vmap(_sample_active)(keys)
+
+        if masks is None:
+
+            def geo_block(ims):
+                f = lambda k, im, act: geo_one(k, im, None, act, geo_seq, intensity_first)[0]
+                return jax.vmap(f)(keys, ims, active)
+
+            def int_block(ims):
+                return _apply_someof_exact(keys, ims, active, perm12, cfg)
+
+            order2 = jnp.where(intensity_first, jnp.array([1, 0]), jnp.array([0, 1]))
+            out, _ = jax.lax.scan(
+                lambda ims, p: (jax.lax.switch(p, [geo_block, int_block], ims), None),
+                images,
+                order2,
+            )
+            return out, None
+
+        def geo_block_m(x):
+            ims, mks = x
+            f = lambda k, im, mk, act: geo_one(k, im, mk, act, geo_seq, intensity_first)
+            return jax.vmap(f)(keys, ims, mks, active)
+
+        def int_block_m(x):
+            ims, mks = x
+            return _apply_someof_exact(keys, ims, active, perm12, cfg), mks
+
+        order2 = jnp.where(intensity_first, jnp.array([1, 0]), jnp.array([0, 1]))
+        (images, masks), _ = jax.lax.scan(
+            lambda x, p: (jax.lax.switch(p, [geo_block_m, int_block_m], x), None),
+            (images, masks),
+            order2,
+        )
+        return images, masks
 
     return augment

@@ -17,11 +17,14 @@ cvtColor hue/saturation, warpAffine/warpPerspective/remap geometry;
 superpixels reuse the same downscaled k-means SLIC as the device kernel.
 
 r3 exact-sampling upgrades, mirroring ops/augment.py: without-replacement
-``SomeOf((0, 5))`` draw with TRUE per-sample random application order
-(:func:`someof_draw_np` — the host can shuffle for free), border modes
-sampled from ia.ALL mapped to cv2 flags, Perlin-gradient simplex masks,
-sampled coarse-dropout granularity, intensity-before/after-geometry coin
-for the outer ``random_order=True``.
+``SomeOf((0, 5))`` draw; ``random_order=True`` realised PER BATCH exactly
+like imgaug (one (5,) outer order and one (12,) SomeOf order drawn per
+call, shared by every sample — imgaug's meta augmenters iterate children
+over the whole batch in a per-batch permutation); the four linear outer
+children (flips/crop&pad/affine) compose into one forward matrix in the
+drawn order; crop&pad percents sampled per side; border modes sampled from
+ia.ALL mapped to cv2 flags; Perlin-gradient simplex masks; sampled
+coarse-dropout granularity.
 """
 
 from __future__ import annotations
@@ -34,18 +37,38 @@ import numpy as np
 from pointcloududa_tpu.ops import augment as augment_cfg
 
 
-def _affine_mat(rng, h, w, cfg: "augment_cfg.AugmentConfig", cp_after=False):
-    """Forward cv2 2x3 matrix for the crop&pad + affine family (same
-    composition as the device `_affine_inverse`, forward form).
-    ``cp_after`` mirrors the device path's outer-Sequential order variant:
-    crop&pad composed after the affine rescales its translation by
-    1/(1+cp)."""
-    gate_aff = rng.uniform() < cfg.affine_prob
+def _child_mats_np(rng, h, w, cfg: "augment_cfg.AugmentConfig"):
+    """Forward 3x3 (y, x, 1) maps for the four linear outer children
+    [Fliplr, Flipud, CropAndPad, Affine] — numpy twin of the device
+    ``_child_matrices`` (forward form; the caller composes them in the
+    per-batch drawn order). CropAndPad samples its percent PER SIDE
+    (``sample_independently=True``); the affine translate ranges are
+    per-axis. Returns ``(mats, any_warp, aff_fired)``."""
+    eye = np.eye(3)
+    m_lr = (
+        np.array([[1.0, 0.0, 0.0], [0.0, -1.0, w - 1.0], [0.0, 0.0, 1.0]])
+        if rng.uniform() < cfg.fliplr
+        else eye
+    )
+    m_ud = (
+        np.array([[-1.0, 0.0, h - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+        if rng.uniform() < cfg.flipud
+        else eye
+    )
     gate_cp = rng.uniform() < cfg.croppad_prob
+    pt, pb, pl, pr = rng.uniform(*cfg.croppad, size=4) if gate_cp else (0.0,) * 4
+    sy_cp, sx_cp = 1.0 + pt + pb, 1.0 + pl + pr
+    # forward per axis (keep_size pixel-center resize): out = (in + 0.5 + p_lo*n)/s - 0.5
+    m_cp = np.array(
+        [
+            [1.0 / sy_cp, 0.0, (0.5 + pt * h) / sy_cp - 0.5],
+            [0.0, 1.0 / sx_cp, (0.5 + pl * w) / sx_cp - 0.5],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    gate_aff = rng.uniform() < cfg.affine_prob
     sy = rng.uniform(*cfg.scale) if gate_aff else 1.0
     sx = rng.uniform(*cfg.scale) if gate_aff else 1.0
-    cp = rng.uniform(*cfg.croppad) if gate_cp else 0.0
-    sy, sx = sy / (1.0 + cp), sx / (1.0 + cp)
     theta = np.deg2rad(rng.uniform(*cfg.rotate)) if gate_aff else 0.0
     sh = np.deg2rad(rng.uniform(*cfg.shear)) if gate_aff else 0.0
     tx_range = cfg.translate_x if cfg.translate_x is not None else cfg.translate
@@ -54,8 +77,6 @@ def _affine_mat(rng, h, w, cfg: "augment_cfg.AugmentConfig", cp_after=False):
         if gate_aff
         else np.zeros(2)
     )  # (ty, tx): per-axis translate_percent ranges (light: x (-0.1, 0.05))
-    if cp_after:
-        t = t / (1.0 + cp)
     ty, tx = t[0] * h, t[1] * w
     c, s = np.cos(theta), np.sin(theta)
     rot = np.array([[c, -s], [s, c]])
@@ -64,10 +85,14 @@ def _affine_mat(rng, h, w, cfg: "augment_cfg.AugmentConfig", cp_after=False):
     a = rot @ shr @ scl
     center = np.array([(h - 1) / 2.0, (w - 1) / 2.0])
     offset = center + np.array([ty, tx]) - a @ center
-    m = np.zeros((2, 3))
-    m[0, 0], m[0, 1], m[0, 2] = a[1, 1], a[1, 0], offset[1]  # cv2 (x, y)
-    m[1, 0], m[1, 1], m[1, 2] = a[0, 1], a[0, 0], offset[0]
-    return m, (gate_aff or gate_cp), gate_aff
+    m_aff = np.array(
+        [
+            [a[0, 0], a[0, 1], offset[0]],
+            [a[1, 0], a[1, 1], offset[1]],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    return [m_lr, m_ud, m_cp, m_aff], (gate_aff or gate_cp), gate_aff
 
 
 def _kernel3(alpha, eff):
@@ -119,18 +144,21 @@ def _superpixels_np(rng, img, cfg):
 
 
 def someof_draw_np(rng, cfg):
-    """Exact host-side ``iaa.SomeOf((0, 5), ..., random_order=True)``:
-    k ~ U{0..5} entries chosen WITHOUT replacement, returned in a uniformly
-    random application order (the host twin realises TRUE per-sample random
-    order — the device pipeline compiles two static order variants);
-    Sometimes(0.5)-wrapped entries (0, 12, 13, 14) thinned by a coin.
-    Returns (ordered entry indices, active-flag set)."""
+    """Exact host-side ``iaa.SomeOf((0, 5))`` SELECTION draw (per sample):
+    k ~ U{0..5} entries chosen WITHOUT replacement; Sometimes(0.5)-wrapped
+    entries (0, 12, 13, 14) thinned by a coin. Returns the active-entry
+    set. The APPLICATION order is per-batch (``random_order=True`` shuffles
+    once per batch in imgaug) — the caller filters its batch-level
+    permutation by this set."""
     if cfg.someof_n <= 0:
-        return [], set()
+        return set()
     k = int(rng.integers(cfg.someof_count[0], cfg.someof_count[1] + 1))
-    chosen = list(rng.permutation(cfg.someof_n)[:k])  # selection + order in one draw
-    kept = [e for e in chosen if e not in (0, 12, 13, 14) or rng.uniform() < cfg.sometimes_p]
-    return kept, set(kept)
+    chosen = rng.permutation(cfg.someof_n)[:k]
+    return {
+        int(e)
+        for e in chosen
+        if e not in (0, 12, 13, 14) or rng.uniform() < cfg.sometimes_p
+    }
 
 
 def _directed_edge_kernel_np(direction):
@@ -351,15 +379,23 @@ def augment_batch(
         cv2.BORDER_CONSTANT, cv2.BORDER_REPLICATE, cv2.BORDER_REFLECT,
         cv2.BORDER_REFLECT_101, cv2.BORDER_WRAP,
     ]
+    # per-batch drawn orders (random_order=True shuffles ONCE per batch in
+    # imgaug): a (5,) outer order of [Fliplr, Flipud, CropAndPad, Affine,
+    # SomeOf] and a (12,) SomeOf order; same derivation as the device twin
+    order5 = rng.permutation(5)
+    pos = np.argsort(order5)  # pos[child] = application position
+    geo_seq = np.argsort(pos[:4])  # the 4 linear children, in order
+    sp, cpp, afp = int(pos[4]), int(pos[2]), int(pos[3])
+    before = sp < min(cpp, afp)
+    after = sp > max(cpp, afp)
+    intensity_first = bool(before or (not after and rng.uniform() < 0.5))
+    perm12 = [int(e) for e in rng.permutation(12)]
     for b in range(len(images)):
         img = work[b]
         msk = None if masks is None else masks[b]
-        order_e, active = someof_draw_np(rng, cfg)
+        active = someof_draw_np(rng, cfg)
+        order_e = [e for e in perm12 if e in active]  # batch order ∩ sample draw
         exact = cfg.someof_n > 0
-        # outer Sequential random_order=True: intensity before or after the
-        # geometry half the time (flips commute in distribution — symmetric
-        # parameter ranges; documented)
-        intensity_first = rng.uniform() < 0.5
 
         def apply_intensity(img):
             if exact:
@@ -368,17 +404,22 @@ def augment_batch(
 
         if intensity_first:
             img = apply_intensity(img)
-        if rng.uniform() < cfg.fliplr:
-            img = img[:, ::-1]
-            msk = None if msk is None else msk[:, ::-1]
-        if rng.uniform() < cfg.flipud:
-            img = img[::-1]
-            msk = None if msk is None else msk[::-1]
-        m, warped, aff_fired = _affine_mat(rng, h, w, cfg, cp_after=intensity_first)
+        mats, warped, aff_fired = _child_mats_np(rng, h, w, cfg)
+        fwd = np.eye(3)
+        for p in geo_seq:  # forward composition in the drawn order
+            fwd = mats[int(p)] @ fwd
+        # (y, x) 3x3 -> cv2 (x, y) 2x3
+        m = np.array(
+            [
+                [fwd[1, 1], fwd[1, 0], fwd[1, 2]],
+                [fwd[0, 1], fwd[0, 0], fwd[0, 2]],
+            ]
+        )
         persp_on = (14 in active) if exact else (
             cfg.perspective_prob > 0 and rng.uniform() < cfg.perspective_prob
         )
-        if persp_on:
+
+        def apply_perspective(img, msk):
             s = rng.uniform(*cfg.perspective_scale)
             jit = rng.normal(0, s, size=(4, 2)) * np.array([w, h])  # cv2 (x, y)
             dst = np.array([[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]], np.float32)
@@ -391,20 +432,34 @@ def augment_batch(
                 msk = cv2.warpPerspective(
                     msk.astype(np.float32), hmat, (w, h), flags=cv2.INTER_NEAREST
                 ).astype(masks.dtype)
-        if warped:
+            return img, msk
+
+        # perspective is a SomeOf member: it precedes the linear composite
+        # when the SomeOf child was drawn before it (device twin: P @ M vs
+        # M @ P by intensity_first)
+        if persp_on and intensity_first:
+            img, msk = apply_perspective(img, msk)
+        flips_fired = not (
+            np.array_equal(mats[0], np.eye(3)) and np.array_equal(mats[1], np.eye(3))
+        )
+        if warped or flips_fired:
             # iaa.Affine's order=[0, 1] draw belongs to the affine only — a
             # crop&pad-only warp resamples bilinearly (device twin: the snap
-            # coin is gated on gate_aff, augment.py _affine_inverse)
-            order = (
-                cv2.INTER_NEAREST
-                if (aff_fired and rng.uniform() < 0.5)
-                else cv2.INTER_LINEAR
-            )
-            cval = float(rng.uniform(0, 255))
+            # coin is gated on gate_aff, augment.py _child_matrices); a pure
+            # flip is an exact integer map: nearest keeps it lossless
+            if warped:
+                order = (
+                    cv2.INTER_NEAREST
+                    if (aff_fired and rng.uniform() < 0.5)
+                    else cv2.INTER_LINEAR
+                )
+                cval = float(rng.uniform(0, 255))
+            else:
+                order, cval = cv2.INTER_NEAREST, 0.0
             # pad_mode/mode=ia.ALL (heavy/aug2); light pins constant
             border = (
                 cv2_border[int(rng.integers(0, 5))]
-                if cfg.border_mode_all
+                if (cfg.border_mode_all and warped)
                 else cv2.BORDER_CONSTANT
             )
             img = cv2.warpAffine(
@@ -419,6 +474,8 @@ def augment_batch(
                     borderMode=cv2.BORDER_CONSTANT,
                     borderValue=0,
                 ).astype(masks.dtype)
+        if persp_on and not intensity_first:
+            img, msk = apply_perspective(img, msk)
         # elastic + piecewise displacement fields via one remap
         disp = None
         el_on = (12 in active) if exact else (

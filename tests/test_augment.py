@@ -49,12 +49,18 @@ def test_light_preserves_intensities(batch):
 
 
 def test_medium_no_geometry(batch):
-    """medium() (augmentation2 parity) applies no flips/affine: masks must
-    be unchanged."""
+    """medium() (augmentation2 parity) applies no flips/affine/elastic/
+    piecewise/perspective — with its one genuine geometry child (crop&pad,
+    p=0.5 like the reference's augmentation2) disabled, masks must be
+    unchanged by everything that remains."""
+    import dataclasses
+
     imgs, masks = batch
-    fn = augment.make_augment_fn(augment.medium())
+    cfg = dataclasses.replace(augment.medium(), croppad_prob=0.0)
+    fn = augment.make_augment_fn(cfg)
     _, out_m = fn(jax.random.PRNGKey(7), imgs, masks)
     np.testing.assert_array_equal(np.array(out_m), masks)
+    assert augment.medium().croppad_prob == 0.5  # the real medium keeps it
 
 
 def test_flip_rates_match_config():
