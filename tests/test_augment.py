@@ -136,3 +136,41 @@ def test_images_only_mode(batch):
     out_i, out_m = fn(jax.random.PRNGKey(2), imgs)
     assert out_i.shape == imgs.shape
     assert out_m is None
+
+
+def test_someof_exact_applies_drawn_order():
+    """_apply_someof_exact must apply the intensity entries in EXACTLY the
+    per-batch drawn order. Entry parameter streams are order-independent
+    (fixed disjoint subkey subsets), so each entry's effective transform
+    can be recovered by running it alone: add (entry 8) gives a = out - x,
+    multiply (entry 10) gives m = out / x. Both composite orders must then
+    match the analytic compositions (x + a) * m vs x * m + a elementwise —
+    whatever per_channel coins fired."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = augment.heavy()
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.uniform(60.0, 140.0, size=(3, 8, 8, 3)).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(11), imgs.shape[0])
+
+    def act(entries):
+        a = np.zeros((imgs.shape[0], 15), bool)
+        a[:, entries] = True
+        return jnp.asarray(a)
+
+    rest = [e for e in range(12) if e not in (8, 10)]
+    perm_am = jnp.asarray(np.array([8, 10] + rest, np.int32))
+    perm_ma = jnp.asarray(np.array([10, 8] + rest, np.int32))
+
+    out_a = np.array(augment._apply_someof_exact(keys, imgs, act([8]), perm_am, cfg))
+    out_m = np.array(augment._apply_someof_exact(keys, imgs, act([10]), perm_am, cfg))
+    a = out_a - np.array(imgs)  # |a| <= 10: no clipping at these intensities
+    m = out_m / np.array(imgs)  # m in [0.5, 1.5]
+
+    got_am = np.array(augment._apply_someof_exact(keys, imgs, act([8, 10]), perm_am, cfg))
+    got_ma = np.array(augment._apply_someof_exact(keys, imgs, act([8, 10]), perm_ma, cfg))
+    np.testing.assert_allclose(got_am, (np.array(imgs) + a) * m, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(got_ma, np.array(imgs) * m + a, rtol=0, atol=1e-3)
+    # the two orders are genuinely different programs
+    assert np.abs(got_am - got_ma).max() > 0.5
