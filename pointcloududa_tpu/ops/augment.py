@@ -63,6 +63,7 @@ contract as ``seq(images=..., segmentation_maps=...)``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 from typing import Tuple
 
@@ -982,13 +983,23 @@ def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
                 return jax.vmap(lambda k, im: one(k, im, None)[0])(keys, images), None
             return jax.vmap(one)(keys, images, masks)
 
-        # SomeOf position vs the two warp children decides whether the
-        # intensity block precedes the composite warp
-        sp, cpp, afp = pos[4], pos[2], pos[3]
-        before = (sp < cpp) & (sp < afp)
-        after = (sp > cpp) & (sp > afp)
+        # SomeOf position vs the statically-LIVE warp children decides
+        # whether the intensity block precedes the composite warp — only
+        # children the config can actually fire count (aug2/medium has no
+        # affine child, so its SomeOf-vs-CropAndPad order is exact; dead
+        # children would otherwise force the between-coin 1/3 of the time)
+        sp = pos[4]
+        warp_pos = [pos[c] for c, p in ((2, cfg.croppad_prob), (3, cfg.affine_prob)) if p > 0]
         coin = jax.random.uniform(k_coin) < 0.5
-        intensity_first = before | ((~after) & coin)
+        if warp_pos:
+            lo = functools.reduce(jnp.minimum, warp_pos)
+            hi = functools.reduce(jnp.maximum, warp_pos)
+            before, after = sp < lo, sp > hi
+            intensity_first = before | ((~after) & coin)
+        else:
+            # no live bordered-warp child: placement only orders intensity
+            # vs the (flip-only) warp, a pure coin in imgaug too
+            intensity_first = coin
         perm12 = jax.random.permutation(k_perm, n_int)
         active = jax.vmap(_sample_active)(keys)
 

@@ -385,10 +385,17 @@ def augment_batch(
     order5 = rng.permutation(5)
     pos = np.argsort(order5)  # pos[child] = application position
     geo_seq = np.argsort(pos[:4])  # the 4 linear children, in order
-    sp, cpp, afp = int(pos[4]), int(pos[2]), int(pos[3])
-    before = sp < min(cpp, afp)
-    after = sp > max(cpp, afp)
-    intensity_first = bool(before or (not after and rng.uniform() < 0.5))
+    # only statically-LIVE warp children count (device twin: aug2/medium
+    # has no affine child, so its SomeOf-vs-CropAndPad order is exact)
+    sp = int(pos[4])
+    warp_pos = [int(pos[c]) for c, p in ((2, cfg.croppad_prob), (3, cfg.affine_prob)) if p > 0]
+    coin = rng.uniform() < 0.5
+    if warp_pos:
+        before = sp < min(warp_pos)
+        after = sp > max(warp_pos)
+        intensity_first = bool(before or (not after and coin))
+    else:
+        intensity_first = bool(coin)
     perm12 = [int(e) for e in rng.permutation(12)]
     for b in range(len(images)):
         img = work[b]
