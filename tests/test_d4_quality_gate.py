@@ -22,10 +22,15 @@ Calibration on this CPU backend (r3, 400 steps, dr=0.05):
   d2d4     0.547   0.730   0.330   (0.794 / 0.716)
   d4aux    0.812   0.811   0.499
 
-Everything is seeded, so CI reruns reproduce these exactly. The gate
-runs seed 0, whose +0.134 gap is 2.7x the asserted +0.05 margin; the
+Everything is seeded, so CI reruns reproduce these exactly. The
 ordering (D2+D4) > (D2) held on every calibrated seed and backend
-(margins +0.134, +0.289, +0.032 CPU; +0.494, +0.241 TPU).
+(margins +0.134, +0.289, +0.032 CPU; +0.494, +0.241 TPU). The gate
+averages seeds 0 and 1 (calibrated mean margin +0.21, 4x the asserted
++0.05) rather than pinning one seed: these tiny adversarial systems are
+chaotically sensitive at the fp-epsilon level (a numerically-correct BN
+refactor redrew the sibling D1+D2 gate's single-seed trajectories — see
+test_uda_quality_gate.py), so a robust gate must demand the effect from
+the distribution, not from one lucky trajectory.
 
 Honest control: the ``d4aux`` arm (chamfer-supervised point head WITHOUT
 the adversary — the reference's own ``-d4aux`` flag) scores even higher
@@ -37,23 +42,29 @@ the sole driver — on the reference's real data the published ablation
 (D2 0.313 vs D2+D4 0.595) makes the adversary's own case.
 """
 
+import numpy as np
 import pytest
 
 from tools.calibrate_d4 import run_arm
 
-SEED = 0
+SEEDS = (0, 1)
 STEPS = 400
 MARGIN = 0.05
 
 
 @pytest.mark.slow
 def test_point_cloud_adversary_beats_d2_alone():
-    d2_best, _ = run_arm("d2", SEED, STEPS)
-    d2d4_best, _ = run_arm("d2d4", SEED, STEPS)
-    # task sanity: D2-only must land mid-range (not degenerate, not
-    # saturated) for the comparison to mean anything
-    assert 0.15 < d2_best < 0.75, f"task drifted: d2 best {d2_best:.3f}"
-    assert d2d4_best > d2_best + MARGIN, (
-        f"D2+D4 best target dice {d2d4_best:.3f} does not beat D2-only "
-        f"{d2_best:.3f} by the calibrated margin {MARGIN}"
+    margins = []
+    for seed in SEEDS:
+        d2_best, _ = run_arm("d2", seed, STEPS)
+        d2d4_best, _ = run_arm("d2d4", seed, STEPS)
+        # task sanity: D2-only must land mid-range (not degenerate, not
+        # saturated) for the comparison to mean anything
+        assert 0.15 < d2_best < 0.75, f"task drifted: seed {seed} d2 best {d2_best:.3f}"
+        margins.append(d2d4_best - d2_best)
+    mean_margin = float(np.mean(margins))
+    detail = ", ".join(f"seed {s}: {m:+.3f}" for s, m in zip(SEEDS, margins))
+    assert mean_margin > MARGIN, (
+        f"D2+D4 does not beat D2-only by the calibrated mean margin "
+        f"{MARGIN} ({detail})"
     )
