@@ -45,9 +45,11 @@ the composite's) — hence the flips hold their drawn slot inside the warp
 rather than interleaving with intensity entries, the three SomeOf geometry
 members (elastic/piecewise/perspective) ride at the warp boundary instead
 of their drawn slot among the intensity entries, and when the SomeOf child
-lands strictly between the two warp children the intensity block's side is
-resolved by a fair coin (the marginal order vs either warp child stays
-exact); the Perlin basis stands in for OpenSimplex and the sigmoid
+lands strictly between the statically-LIVE warp children (crop&pad/affine
+with nonzero prob — dead children don't count, so aug2's 2-child order is
+exact) the intensity block's side is resolved by a fair coin (the marginal
+order vs either warp child stays exact); the Perlin basis stands in for
+OpenSimplex and the sigmoid
 shaping constants are best-effort (imgaug is not installable in this
 environment — see TODO.md); directed edge detect follows imgaug's
 direction-weighted kernel construction but is unverifiable against imgaug
