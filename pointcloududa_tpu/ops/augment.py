@@ -824,13 +824,17 @@ def _intensity_ops(key, img, cfg: AugmentConfig):
     path (:func:`_apply_someof_exact`) instead."""
     c = img.shape[-1]
     ks = jax.random.split(key, 40)
+    # gates draw from a FOLDED stream, disjoint from the entry param
+    # subkeys (ks[8]/ks[9] feed mul_op's params — reusing ks[i] as gate i
+    # would couple the hue/sat gate to the shared multiply factor)
+    gks = jax.random.split(jax.random.fold_in(key, 3), 12)
     fns = _entry_fns(ks, cfg, c)
     g = cfg.intensity_gate
     probs = [cfg.superpixels_prob] + [g] * 6 + [(g if cfg.invert_prob > 0 else 0.0)] + [g] * 4
     for i, (fn, p) in enumerate(zip(fns, probs)):
         if p <= 0.0:
             continue  # static skip
-        on = jax.random.uniform(ks[i]) < p
+        on = jax.random.uniform(gks[i]) < p
         img = jnp.where(on, fn(img), img)
     return jnp.clip(img, 0.0, 255.0)
 
@@ -981,8 +985,7 @@ def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
                 im = _intensity_ops(jax.random.fold_in(k, 7), im, cfg)
                 return im, mk
 
-            if masks is None:
-                return jax.vmap(lambda k, im: one(k, im, None)[0])(keys, images), None
+            # masks=None flows through vmap as an empty pytree leaf
             return jax.vmap(one)(keys, images, masks)
 
         # SomeOf position vs the statically-LIVE warp children decides
@@ -1005,35 +1008,21 @@ def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
         perm12 = jax.random.permutation(k_perm, n_int)
         active = jax.vmap(_sample_active)(keys)
 
-        if masks is None:
-
-            def geo_block(ims):
-                f = lambda k, im, act: geo_one(k, im, None, act, geo_seq, intensity_first)[0]
-                return jax.vmap(f)(keys, ims, active)
-
-            def int_block(ims):
-                return _apply_someof_exact(keys, ims, active, perm12, cfg)
-
-            order2 = jnp.where(intensity_first, jnp.array([1, 0]), jnp.array([0, 1]))
-            out, _ = jax.lax.scan(
-                lambda ims, p: (jax.lax.switch(p, [geo_block, int_block], ims), None),
-                images,
-                order2,
-            )
-            return out, None
-
-        def geo_block_m(x):
+        # ONE orchestration path: masks=None flows through as an empty
+        # pytree leaf (vmap/scan pass it untouched), so the image-only and
+        # image+mask modes cannot diverge
+        def geo_block(x):
             ims, mks = x
             f = lambda k, im, mk, act: geo_one(k, im, mk, act, geo_seq, intensity_first)
             return jax.vmap(f)(keys, ims, mks, active)
 
-        def int_block_m(x):
+        def int_block(x):
             ims, mks = x
             return _apply_someof_exact(keys, ims, active, perm12, cfg), mks
 
         order2 = jnp.where(intensity_first, jnp.array([1, 0]), jnp.array([0, 1]))
         (images, masks), _ = jax.lax.scan(
-            lambda x, p: (jax.lax.switch(p, [geo_block_m, int_block_m], x), None),
+            lambda x, p: (jax.lax.switch(p, [geo_block, int_block], x), None),
             (images, masks),
             order2,
         )

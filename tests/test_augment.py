@@ -121,9 +121,10 @@ def test_croppad_direction():
     fn = augment.make_augment_fn(cfg)
     out, _ = fn(jax.random.PRNGKey(0), img)
     out = np.array(out)
-    # content scaled by 1/1.5: the old blob edge (offset ~4 from center,
-    # in-bounds so unaffected by the random border fill) becomes background,
-    # while the center stays blob
+    # per-side sampling: pad 0.5 on each side => content scaled by
+    # 1/(1+0.5+0.5) = 1/2 per axis, so the old blob edge (offset ~4 from
+    # center, in-bounds so unaffected by the random border fill) becomes
+    # background while the center stays blob
     center = out[:, 11:13, 11:13, 0]
     edge = out[:, 8, 11:13, 0]  # offset -3.5..-4 rows from center
     assert center.mean() > 200.0

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--steps", type=int, default=24)
     args = ap.parse_args()
+    if args.steps <= max(2, args.steps // 4):
+        ap.error(f"--steps must exceed the small-chain length ({max(2, args.steps // 4)})")
 
     import jax
     import jax.numpy as jnp

@@ -33,7 +33,8 @@ Calibration record (r3, CPU backend, 400 steps, dr=0.05, best target Dice):
     d4aux                0.820   0.750
 
 (D2+D4) > (D2) on every seed/task/backend tested — the gate
-(tests/test_d4_quality_gate.py) pins disk/seed0. The d4aux control
+(tests/test_d4_quality_gate.py) asserts the MEAN margin over disk
+seeds 0 and 1. The d4aux control
 usually scores higher still (source-side chamfer shaping transfers
 strongly at this toy scale); the one case where the ADVERSARY beat
 chamfer-only (bar/seed1: 0.841 vs 0.750) is the configuration whose
