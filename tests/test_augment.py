@@ -175,3 +175,55 @@ def test_someof_exact_applies_drawn_order():
     np.testing.assert_allclose(got_ma, np.array(imgs) * m + a, rtol=0, atol=1e-3)
     # the two orders are genuinely different programs
     assert np.abs(got_am - got_ma).max() > 0.5
+
+
+def test_outer_geometry_order_realizes_both_compositions():
+    """The per-batch drawn outer order must realize BOTH flip/affine
+    compositions across batches, in both twins (light-style pipelines:
+    the reference's light_aug Sequential is random_order=True too).
+
+    With fliplr=1 and a deterministic +2px x-translation on a 16-wide
+    frame, flip-then-translate puts a blob centred at col 4 at
+    15-4+2 = 13, translate-then-flip at 15-(4+2) = 9 — mutually
+    exclusive outcomes decided only by the drawn order, uniform by
+    symmetry of the (5,) outer permutation."""
+    import jax
+
+    from pointcloududa_tpu.ops import host_augment
+
+    cfg = augment.AugmentConfig(
+        someof_n=0, fliplr=1.0, flipud=0.0, croppad_prob=0.0,
+        affine_prob=1.0, scale=(1.0, 1.0), rotate=(0.0, 0.0), shear=(0.0, 0.0),
+        translate=(0.0, 0.0), translate_x=(0.125, 0.125),
+        elastic_prob=0.0, piecewise_prob=0.0, perspective_prob=0.0,
+        superpixels_prob=0.0, intensity_gate=0.0, invert_prob=0.0,
+    )
+    img = np.zeros((1, 16, 16, 3), np.float32)
+    mask = np.zeros((1, 16, 16), np.int32)
+    mask[0, 6:10, 3:6] = 1
+    img[0, 6:10, 3:6] = 255.0
+
+    def centroid_x(m):
+        ys, xs = np.nonzero(m[0])
+        assert len(xs) > 0, "blob vanished"
+        return xs.mean()
+
+    fn = augment.make_augment_fn(cfg)
+    n, counts = 60, {9: 0, 13: 0}
+    for i in range(n):
+        _, om = fn(jax.random.PRNGKey(i), img, mask)
+        cx = centroid_x(np.array(om))
+        key = min(counts, key=lambda k: abs(k - cx))
+        assert abs(key - cx) < 1.0, f"unexpected centroid {cx}"
+        counts[key] += 1
+    assert min(counts.values()) >= 12, f"device twin order collapsed: {counts}"
+
+    counts = {9: 0, 13: 0}
+    for i in range(n):
+        rng = np.random.default_rng(1000 + i)
+        _, om = host_augment.augment_batch(img.copy(), mask.copy(), rng, cfg)
+        cx = centroid_x(np.asarray(om))
+        key = min(counts, key=lambda k: abs(k - cx))
+        assert abs(key - cx) < 1.0, f"unexpected centroid {cx}"
+        counts[key] += 1
+    assert min(counts.values()) >= 12, f"host twin order collapsed: {counts}"
