@@ -60,9 +60,11 @@ STEPS = 400
 
 def _style_target(imgs, rng):
     """Strong contrast compression + brightness shift + noise: harsh
-    enough that source-only training reliably plateaus mid-low on target
-    (full intensity inversion instead zeroes BOTH arms at this scale —
-    measured r3; the adversarial signal cannot rescue from zero)."""
+    enough that source-only training reliably plateaus mid-low on target.
+    Intensity inversion was measured (r3) as TOO harsh at this scale:
+    partial (0.95-0.75x) and full (1.05-x) both zero the source-only arm
+    on every seed and D1+D2 recovers only ~0.03 — the adversarial signal
+    cannot rescue from zero."""
     return (imgs * 0.45 + 0.45 + rng.normal(0, 0.08, imgs.shape)).astype(np.float32)
 
 
