@@ -345,20 +345,53 @@ def _border_fold(i, n, mode):
     )
 
 
-def _warp_one(img, M, disp, order: int, cval, mode=None, snap=None):
+def _fold_coord(t, n: int, mode):
+    """Continuous border fold of a float sample coordinate ``t`` into the
+    1-ring-padded range [-1, n] per traced ``mode`` (0 constant / 1 edge /
+    2 symmetric / 3 reflect / 4 wrap).
+
+    The np.pad extensions for edge/symmetric/reflect/wrap are periodic or
+    reflective, so interpolating the extension at ``t`` equals interpolating
+    the base samples (plus a 1-ring pad) at the folded coordinate — the same
+    identity scipy's ``map_coordinates`` uses. Bit-equivalent to folding each
+    integer tap with :func:`_border_fold` and keeping the unfolded weights
+    (golden-tested against a numpy big-pad oracle), except half-integer
+    rounding ties under reflection, which random warps hit with probability
+    zero. Constant mode is the identity (the caller clips indices and fills
+    out-of-range taps with cval).
+    """
+    edge = jnp.clip(t, 0.0, n - 1.0)
+    psi = jnp.mod(t + 0.5, 2.0 * n)  # symmetric: even around -0.5, period 2n
+    symmetric = jnp.minimum(psi, 2.0 * n - psi) - 0.5
+    period = max(2 * n - 2, 1)  # reflect: even around 0, period 2n-2
+    reflect = (n - 1.0) - jnp.abs(jnp.mod(t, period) - (n - 1.0))
+    wrap = jnp.mod(t, n)
+    return jnp.select([mode == 1, mode == 2, mode == 3, mode == 4],
+                      [edge, symmetric, reflect, wrap], t)
+
+
+def _warp_one(img, M, disp, order: int, cval, mode=None, snap=None, nn=None):
     """Inverse projective warp of (H, W, C) + additive displacement field.
 
-    All channels are fetched per bilinear tap in ONE row-gather of the
-    (H*W, C) matrix — 4 gathers total (1 for nearest) instead of
-    map_coordinates' 4-per-plane; gathers dominate warp cost on TPU
-    (measured 5x on the full augmentation pipeline).
+    ONE row-gather serves every tap: the 1-ring mode-padded image is
+    unrolled into a (H+1, W+1, 4C) tensor of 2x2 patches, coordinates are
+    border-folded CONTINUOUSLY (:func:`_fold_coord` — same extension
+    semantics as per-tap integer folding), and a single gather of
+    (H*W) patch rows fetches all four bilinear taps at once. Gathers
+    dominate warp cost on TPU (the previous 4-gathers-plus-separate-mask
+    layout measured 23.2 + 6.6 ms/batch bs16 224^2 of the 49.6 ms heavy
+    pipeline); patch construction is fused elementwise traffic.
 
     ``mode`` (traced int, default constant): border handling per
     ``ia.ALL`` — 0 constant (fill = ``cval``), 1 edge, 2 symmetric,
-    3 reflect, 4 wrap (index arithmetic only; still one gather per tap).
-    ``snap`` (traced bool): snap the sample coordinates to integers
-    (round-half-down) before the bilinear fetch — the exact order-0 result
-    through the order-1 path at zero extra cost (iaa.Affine order=[0,1]).
+    3 reflect, 4 wrap. ``snap`` (traced bool): snap the sample coordinates
+    to integers (round-half-down) before the bilinear fetch — the exact
+    order-0 result through the order-1 path at zero extra cost
+    (iaa.Affine order=[0,1]). ``nn``: optional (H, W) plane sampled
+    nearest (round-half-down) with constant-0 borders inside the SAME
+    gather — the fused segmentation-mask path (imgaug hardcodes
+    constant-0 for segmaps even when the image samples ia.ALL); when
+    given, returns ``(img_out, nn_out)``.
     """
     h, w, ch = img.shape
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -371,33 +404,78 @@ def _warp_one(img, M, disp, order: int, cval, mode=None, snap=None):
         iy = jnp.where(snap, jnp.ceil(iy - 0.5), iy)
         ix = jnp.where(snap, jnp.ceil(ix - 0.5), ix)
 
-    flat = img.reshape(h * w, ch)
-    fill = jnp.broadcast_to(jnp.asarray(cval, img.dtype), (ch,))
+    mode_t = jnp.int32(0) if mode is None else mode
+    planes = img if nn is None else jnp.concatenate([img, nn[..., None].astype(img.dtype)], -1)
+    cp = planes.shape[-1]
 
-    def tap(yi, xi):
-        if mode is None:
-            ym, xm = jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)
-        else:
-            ym, xm = _border_fold(yi, h, mode), _border_fold(xi, w, mode)
-        vals = jnp.take(flat, (ym * w + xm).reshape(-1), axis=0).reshape(h, w, ch)
-        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        if mode is not None:  # non-constant modes never fill
-            inside = inside | (mode != 0)
-        return jnp.where(inside[..., None], vals, fill)
+    # 1-ring pad; ring values per traced mode (edge/symmetric replicate the
+    # border, reflect takes the second row, wrap the opposite one; constant
+    # shares edge — its out-of-range taps are overwritten by the fill)
+    def ring(a, axis):
+        row = lambda k: jax.lax.index_in_dim(a, k, axis=axis, keepdims=True)
+        n = a.shape[axis]
+        lo = jnp.where(mode_t == 3, row(1), jnp.where(mode_t == 4, row(n - 1), row(0)))
+        hi = jnp.where(mode_t == 3, row(n - 2), jnp.where(mode_t == 4, row(0), row(n - 1)))
+        return jnp.concatenate([lo, a, hi], axis=axis)
+
+    ap = ring(ring(planes, 0), 1)  # (h+2, w+2, cp); corners fold both axes
+    patch = jnp.concatenate(
+        [ap[:-1, :-1], ap[:-1, 1:], ap[1:, :-1], ap[1:, 1:]], axis=-1
+    ).reshape((h + 1) * (w + 1), 4 * cp)
+
+    fy = _fold_coord(iy, h, mode_t)
+    fx = _fold_coord(ix, w, mode_t)
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy = fy - y0
+    wx = fx - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1) + 1  # padded row in [0, h]
+    x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1) + 1
+    g = jnp.take(patch, (y0i * (w + 1) + x0i).reshape(-1), axis=0)
+    g = g.reshape(h, w, 4, cp)  # taps ordered [(0,0), (0,1), (1,0), (1,1)]
+
+    # per-tap constant fill from the RAW (unfolded) indices; the folded
+    # modes never fill (their taps are always in range after the fold)
+    ry = jnp.floor(iy).astype(jnp.int32)
+    rx = jnp.floor(ix).astype(jnp.int32)
+    ins = jnp.stack(
+        [
+            (ry + dy >= 0) & (ry + dy < h) & (rx + dx >= 0) & (rx + dx < w)
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))
+        ],
+        axis=2,
+    ) | (mode_t != 0)
+
+    def nearest4(v, sy, sx):  # v: (h, w, 4, c) -> round-half-down tap
+        top = jnp.where(sx[..., None], v[..., 1, :], v[..., 0, :])
+        bot = jnp.where(sx[..., None], v[..., 3, :], v[..., 2, :])
+        return jnp.where(sy[..., None], bot, top)
 
     if order == 0:
-        # round-half-down matches scipy's order-0 map_coordinates
-        return tap(jnp.ceil(iy - 0.5).astype(jnp.int32), jnp.ceil(ix - 0.5).astype(jnp.int32))
+        # round-half-down matches scipy's order-0 map_coordinates; the
+        # nearest tap always lies inside the bilinear 2x2 support
+        nin = (
+            (jnp.ceil(iy - 0.5) >= 0) & (jnp.ceil(iy - 0.5) < h)
+            & (jnp.ceil(ix - 0.5) >= 0) & (jnp.ceil(ix - 0.5) < w)
+        ) | (mode_t != 0)
+        val = nearest4(g, wy > 0.5, wx > 0.5)
+        fill = jnp.broadcast_to(jnp.asarray(cval, img.dtype), (cp,))
+        return jnp.where(nin[..., None], val, fill)
 
-    y0 = jnp.floor(iy)
-    x0 = jnp.floor(ix)
-    wy = (iy - y0)[..., None]
-    wx = (ix - x0)[..., None]
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-    top = tap(y0, x0) * (1 - wx) + tap(y0, x0 + 1) * wx
-    bot = tap(y0 + 1, x0) * (1 - wx) + tap(y0 + 1, x0 + 1) * wx
-    return top * (1 - wy) + bot * wy
+    fill = jnp.broadcast_to(jnp.asarray(cval, img.dtype), (ch,))
+    bt = jnp.where(ins[..., None], g[..., :ch], fill)
+    wy_, wx_ = wy[..., None], wx[..., None]
+    top = bt[..., 0, :] * (1 - wx_) + bt[..., 1, :] * wx_
+    bot = bt[..., 2, :] * (1 - wx_) + bt[..., 3, :] * wx_
+    out = top * (1 - wy_) + bot * wy_
+    if nn is None:
+        return out
+    nin = (
+        (jnp.ceil(iy - 0.5) >= 0) & (jnp.ceil(iy - 0.5) < h)
+        & (jnp.ceil(ix - 0.5) >= 0) & (jnp.ceil(ix - 0.5) < w)
+    )
+    nn_out = nearest4(g[..., cp - 1 :], wy > 0.5, wx > 0.5)[..., 0]
+    return out, jnp.where(nin, nn_out, jnp.zeros((), img.dtype))
 
 
 # --------------------------------------------------------------------- #
@@ -438,31 +516,39 @@ def _avg_blur(img, k):
 
 
 def _median_blur(img, k):
-    """True median filter with traced ODD k in [3, 11] (iaa.MedianBlur).
+    """uint8-exact median filter with traced ODD k in [3, 11] (iaa.MedianBlur).
 
-    One 121-wide window sort serves every k: taps outside the k-window are
-    replaced by +/-inf in symmetric pairs ((dy,dx) vs (-dy,-dx)), which
-    leaves the median of the 121-element multiset equal to the median of
-    the valid k^2 elements (121 - k^2 is always even), so the answer is
-    always the fixed rank-60 element.
+    cv2/imgaug median-blur uint8 images (the reference pipeline is uint8 at
+    every augmenter boundary, ``data_generator_mscmrseg.py:20-84``), so the
+    exact semantics are an INTEGER median: realised as an 8-bit binary
+    search on the value — eight fused 11x11 masked-count stencil passes —
+    instead of a per-pixel 121-wide sort (which materialised an
+    (H, W, C, 121) window tensor; measured 64.8 ms/batch bs16 224^2 on TPU
+    vs the whole 47.6 ms train step). Mid-chain float inputs are rounded
+    to the nearest integer first, matching imgaug's uint8 round-trip.
+
+    Invariant: the answer is max{m in [0,255] : count(window < m) < R} with
+    rank R = (k^2+1)/2 — greedy bit descent from the high bit. Taps beyond
+    the traced k-window are masked out of the count (edge padding, like the
+    sort version and cv2's BORDER_REPLICATE).
     """
     h, w, c = img.shape
     r = 5
-    half = (k.astype(jnp.float32) - 1.0) / 2.0
-    x = jnp.pad(img, [(r, r), (r, r), (0, 0)], mode="edge")
-    wins = []
-    fills = []
-    big = jnp.float32(1e9)
+    half = (k.astype(jnp.int32) - 1) // 2
+    x = jnp.clip(jnp.round(img), 0.0, 255.0)
+    xp = jnp.pad(x, [(r, r), (r, r), (0, 0)], mode="edge")
+    rank = ((k * k + 1) // 2).astype(jnp.float32)
+    taps = []
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            wins.append(x[r + dy : r + dy + h, r + dx : r + dx + w])
-            valid = (jnp.abs(dy) <= half) & (jnp.abs(dx) <= half)
-            pos = (dy > 0) | ((dy == 0) & (dx > 0))  # sign of the inf fill
-            fills.append(jnp.where(valid, jnp.float32(0), jnp.where(pos, big, -big)))
-    wins = jnp.stack(wins, axis=-1)  # (h, w, c, 121)
-    fill = jnp.stack(fills)  # (121,) of {0, +-inf}
-    vals = jnp.where(fill == 0, wins, fill)
-    return jnp.sort(vals, axis=-1)[..., 60]
+            valid = (max(abs(dy), abs(dx)) <= half).astype(jnp.float32)
+            taps.append((xp[r + dy : r + dy + h, r + dx : r + dx + w], valid))
+    m = jnp.zeros((h, w, c), jnp.float32)
+    for bit in (128, 64, 32, 16, 8, 4, 2, 1):
+        t = m + jnp.float32(bit)
+        cnt = sum(v * (tap < t).astype(jnp.float32) for tap, v in taps)
+        m = jnp.where(cnt < rank, t, m)
+    return m
 
 
 def _conv3(img, kernel):
@@ -551,6 +637,38 @@ def _perlin_eval(theta, u, v):
     return n0 * (1 - wu) + n1 * wu
 
 
+def _perlin_eval_sep(theta, u, v):
+    """:func:`_perlin_eval` on a separable grid — ``u``: (h,) row lattice
+    coords, ``v``: (w,) column coords; returns the same (h, w) values as
+    ``_perlin_eval(theta, u[:, None]*ones, v[None, :]*ones)``.
+
+    The four corner-gradient lookups become two tiny row/column ``take``s
+    of the (side, side) lattice (with sin/cos evaluated once on the
+    lattice) instead of four full-resolution flat gathers per octave —
+    the gathers made the noise mask 45% of the whole heavy device
+    pipeline (98.7 of 218.6 ms/batch bs16 224^2 on TPU)."""
+    i0 = jnp.floor(u)
+    j0 = jnp.floor(v)
+    fu = (u - i0)[:, None]  # (h, 1)
+    fv = (v - j0)[None, :]  # (1, w)
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+
+    def grad_dot(di, dj):
+        s = jnp.take(jnp.take(sin_t, i0 + di, axis=0), j0 + dj, axis=1)
+        c = jnp.take(jnp.take(cos_t, i0 + di, axis=0), j0 + dj, axis=1)
+        return s * (fu - di) + c * (fv - dj)
+
+    def fade(t):
+        return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+    wu, wv = fade(fu), fade(fv)
+    n0 = grad_dot(0, 0) * (1 - wv) + grad_dot(0, 1) * wv
+    n1 = grad_dot(1, 0) * (1 - wv) + grad_dot(1, 1) * wv
+    return n0 * (1 - wu) + n1 * wu
+
+
 def _perlin_mask(key, h: int, w: int):
     """Gradient-noise alpha mask in [0, 1] — the imgaug SimplexNoiseAlpha
     recipe: per draw, a noise layer at a sampled low resolution
@@ -563,8 +681,8 @@ def _perlin_mask(key, h: int, w: int):
     different basis; constants are best-effort pending an imgaug golden A/B
     (TODO.md)."""
     ks = jax.random.split(key, 3)
-    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    yy = jnp.arange(h, dtype=jnp.float32)
+    xx = jnp.arange(w, dtype=jnp.float32)
     n_iter = jax.random.randint(ks[0], (), 1, 4)
     side = _PERLIN_G + 2
 
@@ -573,12 +691,12 @@ def _perlin_mask(key, h: int, w: int):
         k1, k2, k3 = jax.random.split(kk, 3)
         g = jax.random.randint(k1, (), 2, _PERLIN_G + 1).astype(jnp.float32)
         nearest = jax.random.uniform(k2) < 0.5
-        u = yy * (g / h)
-        v = xx * (g / w)
+        u = yy * (g / h)  # row coord only depends on y, col only on x:
+        v = xx * (g / w)  # the evaluation is separable (one take per axis)
         u = jnp.where(nearest, jnp.floor(u) + 0.5, u)
         v = jnp.where(nearest, jnp.floor(v) + 0.5, v)
         theta = jax.random.uniform(k3, (side, side), maxval=2.0 * jnp.pi)
-        val = _perlin_eval(theta, u, v)  # ~[-0.707, 0.707]
+        val = _perlin_eval_sep(theta, u, v)  # ~[-0.707, 0.707]
         return jnp.clip(0.5 + val * (0.5 / 0.70710678), 0.0, 1.0)
 
     mask = jnp.zeros((h, w), jnp.float32)
@@ -695,32 +813,41 @@ def _superpixels(key, img, cfg: AugmentConfig):
             + jnp.sum(centers * centers, 1)[None]
         )
         d = jnp.where(active[None], d, jnp.float32(1e9))
-        return jnp.argmin(d, axis=1)
+        seg = jnp.argmin(d, axis=1)
+        # one-hot (P, K) — per-segment sums become MXU matmuls below
+        # (segment_sum's scatter lowering is the slow path on TPU)
+        return seg, jax.nn.one_hot(seg, _SP_K, dtype=jnp.float32)
 
-    seg = assign(centers)
+    seg, onehot = assign(centers)
+    feats1 = jnp.concatenate([feats, jnp.ones((feats.shape[0], 1))], 1)
     for _ in range(2):  # k-means refinement
-        sums = jax.ops.segment_sum(
-            jnp.concatenate([feats, jnp.ones((feats.shape[0], 1))], 1), seg, _SP_K
-        )
+        sums = jnp.matmul(onehot.T, feats1, precision=jax.lax.Precision.HIGHEST)
         cnt = jnp.maximum(sums[:, -1:], 1.0)
         centers = sums[:, :-1] / cnt
-        seg = assign(centers)
+        seg, onehot = assign(centers)
 
-    mean_col = (
-        jax.ops.segment_sum(
-            jnp.concatenate([small.reshape(-1, c), jnp.ones((hs * ws, 1))], 1), seg, _SP_K
-        )
+    mean_col = jnp.matmul(
+        onehot.T,
+        jnp.concatenate([small.reshape(-1, c), jnp.ones((hs * ws, 1))], 1),
+        precision=jax.lax.Precision.HIGHEST,
     )
     mean_col = mean_col[:, :c] / jnp.maximum(mean_col[:, -1:], 1.0)  # (K, C)
 
     p_rep = _u(ks[3], cfg.superpixels_replace)
     rep = jax.random.uniform(ks[4], (_SP_K,)) < p_rep
-    seg_img = seg.reshape(hs, ws)
+    # per-pixel lookup as one more (P, K) @ (K, C+1) matmul at the SMALL
+    # resolution, upsampled nearest afterwards — equivalent to gathering
+    # through the nearest-upsampled segment map (nearest replication
+    # commutes with the lookup), without any full-resolution gather
+    table = jnp.concatenate([mean_col, rep[:, None].astype(jnp.float32)], 1)
+    looked = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST).reshape(hs, ws, c + 1)
+    mean_img, rep_img = looked[..., :c], looked[..., c] > 0.5
     if factor > 1:
-        seg_img = jax.image.resize(
-            seg_img[..., None].astype(jnp.float32), (h, w, 1), "nearest"
-        )[..., 0].astype(jnp.int32)
-    return jnp.where(rep[seg_img][..., None], mean_col[seg_img], img)
+        mean_img = jax.image.resize(mean_img, (h, w, c), "nearest")
+        rep_img = jax.image.resize(
+            rep_img[..., None].astype(jnp.float32), (h, w, 1), "nearest"
+        )[..., 0] > 0.5
+    return jnp.where(rep_img[..., None], mean_img, img)
 
 
 def _entry_fns(ks, cfg: AugmentConfig, c: int):
@@ -950,13 +1077,20 @@ def make_augment_fn(cfg: AugmentConfig, elastic_field: bool = True):
         else:
             mode = None
         cval = jnp.where(any_warp, jax.random.uniform(ks[6], minval=0.0, maxval=255.0), 0.0)
-        img = _warp_one(img, M, disp, order=1, cval=cval, mode=mode, snap=snap)
         if mask is not None:
             # imgaug warps segmentation maps with constant-0 borders even
             # when the image samples ia.ALL (Affine/CropAndPad hardcode
-            # mode="constant", cval=0 for segmaps)
-            m = _warp_one(mask[..., None].astype(jnp.float32), M, disp, order=0, cval=0.0)
-            mask = m[..., 0].astype(jnp.int32)
+            # mode="constant", cval=0 for segmaps); the mask rides the
+            # image's single patch-gather as the fused ``nn`` plane
+            # (equivalence to a separate order-0 constant-0 warp is pinned
+            # by test_warp_fused_mask_matches_separate)
+            img, m = _warp_one(
+                img, M, disp, order=1, cval=cval, mode=mode, snap=snap,
+                nn=mask.astype(jnp.float32),
+            )
+            mask = m.astype(jnp.int32)
+        else:
+            img = _warp_one(img, M, disp, order=1, cval=cval, mode=mode, snap=snap)
         return img, mask
 
     def _sample_active(k):

@@ -178,6 +178,104 @@ def test_warp_border_modes_fill_vs_fold():
     assert (out_e[:3] == 0.0).all() and (out_e[3:, :, 0] == np.arange(5)[:, None]).all()
 
 
+def _np_warp_oracle(img, M, disp, order, cval, np_mode):
+    """Independent numpy oracle for _warp_one: big-pad with np.pad and
+    interpolate the extension at the RAW (unfolded) coordinates — the
+    extension identity the continuous border fold is built on."""
+    h, w, _ = img.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    dnm = M[2, 0] * yy + M[2, 1] * xx + M[2, 2]
+    iy = (M[0, 0] * yy + M[0, 1] * xx + M[0, 2]) / dnm + disp[..., 0]
+    ix = (M[1, 0] * yy + M[1, 1] * xx + M[1, 2]) / dnm + disp[..., 1]
+    P = 64
+    kw = {"constant_values": cval} if np_mode == "constant" else {}
+    pad = np.pad(img.astype(np.float64), [(P, P), (P, P), (0, 0)], mode=np_mode, **kw)
+    if order == 0:
+        yi = np.ceil(iy - 0.5).astype(int)
+        xi = np.ceil(ix - 0.5).astype(int)
+        return pad[yi + P, xi + P]
+    y0 = np.floor(iy).astype(int)
+    x0 = np.floor(ix).astype(int)
+    wy = (iy - y0)[..., None]
+    wx = (ix - x0)[..., None]
+    g = lambda a, b: pad[a + P, b + P]
+    top = g(y0, x0) * (1 - wx) + g(y0, x0 + 1) * wx
+    bot = g(y0 + 1, x0) * (1 - wx) + g(y0 + 1, x0 + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def test_warp_golden_vs_numpy_pad_oracle():
+    """The single-gather patch warp (continuous border fold) vs an
+    independent big-pad numpy oracle: every border mode, order 0 and 1,
+    a rotation+scale+translate matrix plus a smooth displacement field."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    h, w, c = 13, 17, 2
+    img = rng.uniform(0, 255, (h, w, c)).astype(np.float32)
+    th = 0.4
+    R = np.array(
+        [[np.cos(th) / 0.8, -np.sin(th), 3.7], [np.sin(th), np.cos(th) * 1.2, -2.3], [0, 0, 1.0]]
+    )
+    disp = rng.uniform(-2.5, 2.5, (h, w, 2)).astype(np.float32)
+    for mode_i, np_mode in ((0, "constant"), (1, "edge"), (2, "symmetric"), (3, "reflect"), (4, "wrap")):
+        for order in (0, 1):
+            got = np.asarray(
+                augment._warp_one(
+                    jnp.asarray(img), jnp.asarray(R, jnp.float32), jnp.asarray(disp),
+                    order, 99.0, mode=jnp.int32(mode_i),
+                )
+            )
+            want = _np_warp_oracle(img, R, disp, order, 99.0, np_mode)
+            np.testing.assert_allclose(got, want, atol=2e-3, err_msg=f"{np_mode} order={order}")
+    # snap=True through the order-1 path == the order-0 result
+    got_snap = np.asarray(
+        augment._warp_one(
+            jnp.asarray(img), jnp.asarray(R, jnp.float32), jnp.asarray(disp),
+            1, 99.0, mode=jnp.int32(2), snap=jnp.bool_(True),
+        )
+    )
+    np.testing.assert_allclose(
+        got_snap, _np_warp_oracle(img, R, disp, 0, 99.0, "symmetric"), atol=2e-3
+    )
+
+
+def test_warp_fused_mask_matches_separate():
+    """The fused ``nn`` plane (mask riding the image's patch-gather) must
+    equal a separate order-0 constant-0 warp of the mask, for every image
+    border mode and under coordinate snapping."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    h, w = 19, 15
+    img = jnp.asarray(rng.uniform(0, 255, (h, w, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.integers(0, 4, (h, w)).astype(np.int32))
+    th = -0.3
+    M = jnp.asarray(
+        np.array([[np.cos(th) * 1.1, -np.sin(th), -2.2], [np.sin(th), np.cos(th) / 1.1, 4.1], [0, 0, 1.0]]),
+        jnp.float32,
+    )
+    disp = jnp.asarray(rng.uniform(-2.0, 2.0, (h, w, 2)).astype(np.float32))
+    for mode_i in range(5):
+        for snap in (False, True):
+            fused_img, fused_m = augment._warp_one(
+                img, M, disp, 1, 7.0, mode=jnp.int32(mode_i),
+                snap=jnp.bool_(snap), nn=mask.astype(jnp.float32),
+            )
+            sep_img = augment._warp_one(
+                img, M, disp, 1, 7.0, mode=jnp.int32(mode_i), snap=jnp.bool_(snap)
+            )
+            sep_m = augment._warp_one(
+                mask[..., None].astype(jnp.float32), M, disp, 0, 0.0, snap=jnp.bool_(snap)
+            )[..., 0]
+            np.testing.assert_allclose(
+                np.asarray(fused_img), np.asarray(sep_img), atol=1e-4, err_msg=f"img mode={mode_i}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused_m), np.asarray(sep_m), err_msg=f"mask mode={mode_i} snap={snap}"
+            )
+
+
 def test_perlin_mask_range_and_granularity():
     import jax
 
@@ -406,6 +504,23 @@ def test_perlin_eval_matches_scalar_oracle():
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_perlin_eval_sep_matches_dense():
+    """The separable-grid fast path (`_perlin_eval_sep`, used by the mask
+    builder: row coords depend only on y, column coords only on x) must
+    equal the oracle-pinned dense kernel evaluated on the broadcast grid."""
+    rng = np.random.default_rng(11)
+    side = 6
+    theta = jnp.asarray(rng.uniform(0, 2 * np.pi, size=(side, side)), jnp.float32)
+    h, w = 17, 23
+    u = jnp.asarray(rng.uniform(0.0, 4.0, size=h), jnp.float32)
+    v = jnp.asarray(rng.uniform(0.0, 4.0, size=w), jnp.float32)
+    dense = augment._perlin_eval(
+        theta, jnp.broadcast_to(u[:, None], (h, w)), jnp.broadcast_to(v[None, :], (h, w))
+    )
+    sep = augment._perlin_eval_sep(theta, u, v)
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(dense), atol=1e-5)
 
 
 def test_mask_borders_constant_zero_under_ia_all():
