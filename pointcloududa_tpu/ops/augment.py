@@ -531,24 +531,37 @@ def _median_blur(img, k):
     rank R = (k^2+1)/2 — greedy bit descent from the high bit. Taps beyond
     the traced k-window are masked out of the count (edge padding, like the
     sort version and cv2's BORDER_REPLICATE).
+
+    The descent runs in BF16 LANES: every value in it is an integer — taps
+    0..255, thresholds <= 256, validity 0/1, per-tap products <= 255, the
+    count and its partial sums <= 121, rank <= 61 — and integers <= 256
+    (plus any power of two) are exactly representable in bfloat16, so the
+    bf16 descent is BIT-IDENTICAL to the f32 one (asserted on-device and
+    pinned by the cv2 golden, ``test_median_blur_matches_cv2``) at half the
+    VPU/bandwidth cost: measured 6.37 vs 9.02 ms/batch bs16 224^2 on TPU
+    (-29%). Also measured and REJECTED (2026-08-19): a one-time
+    out-of-window sentinel substitution (tap -> 512) instead of the per-bit
+    validity multiply — 8.79 ms in f32 and 13.92 ms in bf16; XLA fuses the
+    scalar multiply into the compare pass better than the rematerialised
+    select.
     """
     h, w, c = img.shape
     r = 5
     half = (k.astype(jnp.int32) - 1) // 2
-    x = jnp.clip(jnp.round(img), 0.0, 255.0)
+    x = jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.bfloat16)
     xp = jnp.pad(x, [(r, r), (r, r), (0, 0)], mode="edge")
-    rank = ((k * k + 1) // 2).astype(jnp.float32)
+    rank = ((k * k + 1) // 2).astype(jnp.bfloat16)
     taps = []
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            valid = (max(abs(dy), abs(dx)) <= half).astype(jnp.float32)
+            valid = (max(abs(dy), abs(dx)) <= half).astype(jnp.bfloat16)
             taps.append((xp[r + dy : r + dy + h, r + dx : r + dx + w], valid))
-    m = jnp.zeros((h, w, c), jnp.float32)
+    m = jnp.zeros((h, w, c), jnp.bfloat16)
     for bit in (128, 64, 32, 16, 8, 4, 2, 1):
-        t = m + jnp.float32(bit)
-        cnt = sum(v * (tap < t).astype(jnp.float32) for tap, v in taps)
+        t = m + jnp.bfloat16(bit)
+        cnt = sum(v * (tap < t).astype(jnp.bfloat16) for tap, v in taps)
         m = jnp.where(cnt < rank, t, m)
-    return m
+    return m.astype(jnp.float32)
 
 
 def _conv3(img, kernel):
