@@ -134,6 +134,21 @@ class AugmentConfig:
     perspective_prob: float = 0.5 * _SOMEOF_EXPECTED / 15
     perspective_scale: Tuple[float, float] = (0.01, 0.1)
 
+    def __post_init__(self):
+        # _median_blur hard-codes its stencil window to r=5 (taps beyond
+        # |d| > 5 never enter the count) and runs its greedy bit descent in
+        # bf16 lanes, which is bit-exact only while every intermediate is an
+        # integer <= 256: rank=(k^2+1)//2 and the masked tap count k^2 both
+        # stay <= 121 for k <= 11. A wider k would silently drop taps AND
+        # round the rank, so reject it here instead of inside the jit.
+        lo, hi = self.median_blur_k
+        if not (1 <= lo <= hi <= 11):
+            raise ValueError(
+                f"median_blur_k={self.median_blur_k}: _median_blur supports "
+                "odd k in [1, 11] only (r=5 stencil window; bf16-exact bit "
+                "descent needs k*k+1 <= 256 -> k <= 11)"
+            )
+
 
 def heavy() -> AugmentConfig:
     """The reference's ``augmentation`` pipeline (flips + geometry + a

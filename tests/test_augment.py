@@ -227,3 +227,20 @@ def test_outer_geometry_order_realizes_both_compositions():
         assert abs(key - cx) < 1.0, f"unexpected centroid {cx}"
         counts[key] += 1
     assert min(counts.values()) >= 12, f"host twin order collapsed: {counts}"
+
+
+def test_median_blur_k_validated_at_construction():
+    """ADVICE r3: _median_blur's r=5 window + bf16-exact bit descent only
+    covers odd k in [1, 11]; a wider range must be rejected when the config
+    is built, not silently mis-median inside the jit."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="median_blur_k"):
+        augment.AugmentConfig(median_blur_k=(3, 13))
+    with _pytest.raises(ValueError, match="median_blur_k"):
+        dataclasses.replace(augment.heavy(), median_blur_k=(0, 11))
+    # identity (k=1) and the production range stay constructible
+    augment.AugmentConfig(median_blur_k=(1, 1))
+    augment.AugmentConfig(median_blur_k=(3, 11))
