@@ -184,7 +184,11 @@ class PointNetFeat(nn.Module):
         x = stage(x, 128, "conv2")
         if self.ext:
             x = stage(x, 256, "conv2_1")
-            x = stage(x, 512, "conv3")
+            # parity quirk: bn3 is applied with NO ReLU in BOTH paths — the
+            # reference's `x = self.bn3(self.conv3(x))` is unconditional
+            # (PointNetCls.py:159), so the ext conv3_1 consumes the raw bn3
+            # output
+            x = stage(x, 512, "conv3", relu=False)
             x = stage(x, 1024, "conv3_1")
         else:
             # parity quirk: bn3 with NO ReLU before the max (PointNetCls.py:159)

@@ -54,77 +54,17 @@ def torch_nets():
     return torch, gen, disc
 
 
-def _conv(w):
-    return jnp.asarray(np.transpose(w.detach().numpy(), (2, 3, 1, 0)))  # OIHW -> HWIO
+from pointcloududa_tpu.utils.torch_import import (  # noqa: E402
+    discriminator_variables,
+    generator_variables,
+    pointnetcls_variables,
+)
 
-
-def _vec(w):
-    return jnp.asarray(w.detach().numpy())
-
-
-def _gen_variables(sd, template, extpn=False):
-    """Map the reference generator's state_dict onto the flax tree."""
-    from flax.traverse_util import flatten_dict, unflatten_dict
-
-    params, stats = {}, {}
-
-    def put_convbn(dst, src_prefix, ci, bi):
-        params[dst + ("Conv_0", "kernel")] = _conv(sd[f"{src_prefix}.{ci}.weight"])
-        params[dst + ("Conv_0", "bias")] = _vec(sd[f"{src_prefix}.{ci}.bias"])
-        params[dst + ("BatchNorm_0", "scale")] = _vec(sd[f"{src_prefix}.{bi}.weight"])
-        params[dst + ("BatchNorm_0", "bias")] = _vec(sd[f"{src_prefix}.{bi}.bias"])
-        stats[dst + ("BatchNorm_0", "mean")] = _vec(sd[f"{src_prefix}.{bi}.running_mean"])
-        stats[dst + ("BatchNorm_0", "var")] = _vec(sd[f"{src_prefix}.{bi}.running_var"])
-
-    for k in range(1, 5):
-        # encoder Sequential: [0]=Conv [1]=LReLU [2]=BN [3]=Conv [4]=LReLU [5]=BN
-        put_convbn(("encoder", f"encoder{k}_conv1"), f"encoder.encoder{k}", 0, 2)
-        put_convbn(("encoder", f"encoder{k}_conv2"), f"encoder.encoder{k}", 3, 5)
-        if k == 1:
-            params[("encoder", "conv1_1_dead_kernel")] = _conv(sd["encoder.conv1_1.0.weight"])
-            params[("encoder", "conv1_1_dead_bias")] = _vec(sd["encoder.conv1_1.0.bias"])
-        else:
-            params[("encoder", f"conv1_{k}", "kernel")] = _conv(sd[f"encoder.conv1_{k}.0.weight"])
-            params[("encoder", f"conv1_{k}", "bias")] = _vec(sd[f"encoder.conv1_{k}.0.bias"])
-    for i in range(1, 5):
-        params[("bottleneck", f"bottleneck{i}", "kernel")] = _conv(
-            sd[f"bottleneck.bottleneck{i}.0.weight"]
-        )
-        params[("bottleneck", f"bottleneck{i}", "bias")] = _vec(
-            sd[f"bottleneck.bottleneck{i}.0.bias"]
-        )
-    if extpn:
-        for name in ("conv1", "conv2"):
-            params[("pointNet", name, "kernel")] = _conv(sd[f"pointNet.{name}.weight"])
-            params[("pointNet", name, "bias")] = _vec(sd[f"pointNet.{name}.bias"])
-    params[("pointNet", "final_conv", "kernel")] = _conv(sd["pointNet.final_conv.weight"])
-    params[("pointNet", "final_conv", "bias")] = _vec(sd["pointNet.final_conv.bias"])
-    params[("pointNet", "final_fc", "kernel")] = jnp.asarray(
-        sd["pointNet.final_fc.weight"].detach().numpy().T
-    )
-    params[("pointNet", "final_fc", "bias")] = _vec(sd["pointNet.final_fc.bias"])
-    for k in range(1, 5):
-        # decoder1 Sequential: [0]=Upsampling [1]=Conv
-        params[("decoder", f"decoder1_{k}", "kernel")] = _conv(sd[f"decoder.decoder1_{k}.1.weight"])
-        params[("decoder", f"decoder1_{k}", "bias")] = _vec(sd[f"decoder.decoder1_{k}.1.bias"])
-        # decoder2 (drop=False): [0]=Conv [1]=LReLU [2]=BN [3]=Conv [4]=LReLU [5]=BN
-        put_convbn(("decoder", f"decoder2_{k}_conv1"), f"decoder.decoder2_{k}", 0, 2)
-        put_convbn(("decoder", f"decoder2_{k}_conv2"), f"decoder.decoder2_{k}", 3, 5)
-    params[("classifier", "kernel")] = _conv(sd["classifier.weight"])
-    params[("classifier", "bias")] = _vec(sd["classifier.bias"])
-
-    flat_t = flatten_dict(template["params"])
-    assert set(flat_t) == set(params), (
-        f"unmapped: {set(flat_t) ^ set(params)}"
-    )
-    for k in flat_t:
-        assert flat_t[k].shape == params[k].shape, (k, flat_t[k].shape, params[k].shape)
-    flat_s = flatten_dict(template["batch_stats"])
-    assert set(flat_s) == set(stats), f"unmapped stats: {set(flat_s) ^ set(stats)}"
-    return {
-        "params": unflatten_dict(params),
-        "batch_stats": unflatten_dict(stats),
-    }
+# The state_dict -> flax mapping these tests exercise lives in the package
+# (utils/torch_import.py) so tools/import_torch_ckpt.py can convert the
+# reference's released .pt checkpoints with the exact code verified here.
+_gen_variables = lambda sd, template, extpn=False: generator_variables(sd, template)  # noqa: E731
+_pointnetcls_variables = lambda sd, template, ft=False: pointnetcls_variables(sd, template)  # noqa: E731
 
 
 @pytest.mark.parametrize("packed", [False, True], ids=["standard", "packed"])
@@ -157,14 +97,7 @@ def test_discriminator_forward_matches_reference(torch_nets):
     model = UncertaintyDiscriminator(in_channel=4, compute_dtype=jnp.float32)
     x = np.random.RandomState(2).rand(2, 96, 96, 4).astype(np.float32)
     template = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
-
-    from flax.traverse_util import flatten_dict, unflatten_dict
-
-    sd = tdisc.state_dict()
-    params = {(f"conv{i}", "kernel"): _conv(sd[f"conv{i}.weight"]) for i in range(1, 6)}
-    flat_t = flatten_dict(template["params"])
-    assert set(flat_t) == set(params), set(flat_t) ^ set(params)
-    variables = {"params": unflatten_dict(params)}
+    variables = discriminator_variables(tdisc.state_dict(), template)
 
     with torch.no_grad():
         ref = tdisc(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
@@ -173,67 +106,6 @@ def test_discriminator_forward_matches_reference(torch_nets):
         np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, atol=2e-4
     )
 
-
-
-def _conv1d(w):  # (O, I, 1) -> (1, I, O)
-    return jnp.asarray(np.transpose(w.detach().numpy(), (2, 1, 0)))
-
-
-def _dense(w):
-    return jnp.asarray(w.detach().numpy().T)
-
-
-def _pointnetcls_variables(sd, template, ft=False):
-    """Map the reference PointNetCls state_dict onto the flax tree
-    (PointNetCls.py naming: STN blocks use bn1-3 for convs, bn4-5 for fcs)."""
-    from flax.traverse_util import flatten_dict, unflatten_dict
-
-    params, stats = {}, {}
-
-    def put_bn(dst, src):
-        params[dst + ("BatchNorm_0", "scale")] = _vec(sd[f"{src}.weight"])
-        params[dst + ("BatchNorm_0", "bias")] = _vec(sd[f"{src}.bias"])
-        stats[dst + ("BatchNorm_0", "mean")] = _vec(sd[f"{src}.running_mean"])
-        stats[dst + ("BatchNorm_0", "var")] = _vec(sd[f"{src}.running_var"])
-
-    def put_stn(dst_prefix, src_prefix):
-        for i in (1, 2, 3):
-            params[dst_prefix + (f"conv{i}", "Conv_0", "kernel")] = _conv1d(
-                sd[f"{src_prefix}.conv{i}.weight"]
-            )
-            params[dst_prefix + (f"conv{i}", "Conv_0", "bias")] = _vec(
-                sd[f"{src_prefix}.conv{i}.bias"]
-            )
-            put_bn(dst_prefix + (f"n_conv{i}",), f"{src_prefix}.bn{i}")
-        for j, bn in ((1, 4), (2, 5)):
-            params[dst_prefix + (f"fc{j}", "Dense_0", "kernel")] = _dense(
-                sd[f"{src_prefix}.fc{j}.weight"]
-            )
-            params[dst_prefix + (f"fc{j}", "Dense_0", "bias")] = _vec(
-                sd[f"{src_prefix}.fc{j}.bias"]
-            )
-            put_bn(dst_prefix + (f"n_fc{j}",), f"{src_prefix}.bn{bn}")
-        params[dst_prefix + ("fc3", "Dense_0", "kernel")] = _dense(sd[f"{src_prefix}.fc3.weight"])
-        params[dst_prefix + ("fc3", "Dense_0", "bias")] = _vec(sd[f"{src_prefix}.fc3.bias"])
-
-    put_stn(("feat", "stn"), "feat.stn")
-    if ft:
-        put_stn(("feat", "fstn"), "feat.fstn")
-    for i in (1, 2, 3):
-        params[("feat", f"conv{i}", "Conv_0", "kernel")] = _conv1d(sd[f"feat.conv{i}.weight"])
-        params[("feat", f"conv{i}", "Conv_0", "bias")] = _vec(sd[f"feat.conv{i}.bias"])
-        put_bn(("feat", f"bn_conv{i}"), f"feat.bn{i}")
-    for j in (1, 2, 3):
-        params[(f"fc{j}", "Dense_0", "kernel")] = _dense(sd[f"fc{j}.weight"])
-        params[(f"fc{j}", "Dense_0", "bias")] = _vec(sd[f"fc{j}.bias"])
-    put_bn(("bn1",), "bn1")
-    put_bn(("bn2",), "bn2")
-
-    flat_t = flatten_dict(template["params"])
-    assert set(flat_t) == set(params), set(flat_t) ^ set(params)
-    flat_s = flatten_dict(template["batch_stats"])
-    assert set(flat_s) == set(stats), set(flat_s) ^ set(stats)
-    return {"params": unflatten_dict(params), "batch_stats": unflatten_dict(stats)}
 
 
 def test_pointnet_discriminator_matches_reference():
@@ -389,7 +261,6 @@ def test_ext_discriminator_matches_reference():
     sys.path.insert(0, REF_SRC)
     from networks.GAN import UncertaintyDiscriminator as TorchDisc
 
-    from flax.traverse_util import flatten_dict, unflatten_dict
     from pointcloududa_tpu.models.discriminator import UncertaintyDiscriminator
 
     torch.manual_seed(8)
@@ -400,16 +271,11 @@ def test_ext_discriminator_matches_reference():
     model = UncertaintyDiscriminator(in_channel=5, ext=True, compute_dtype=jnp.float32)
     x = np.random.RandomState(9).rand(2, 96, 96, 5).astype(np.float32)
     template = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    params = {
-        (name, "kernel"): _conv(sd[f"{name}.weight"])
-        for name in ("conv1", "conv2", "conv3", "conv4", "conv4_2", "conv4_3", "conv5")
-    }
-    flat_t = flatten_dict(template["params"])
-    assert set(flat_t) == set(params), set(flat_t) ^ set(params)
+    variables = discriminator_variables(sd, template)
 
     with torch.no_grad():
         ref = tdisc(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
-    out = model.apply({"params": unflatten_dict(params)}, jnp.asarray(x))
+    out = model.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, atol=2e-4)
 
 
