@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-workdir", type=str, default="weights")
     p.add_argument("-logdir", type=str, default="runs")
     p.add_argument("-workers", type=int, default=4)
+    p.add_argument(
+        "-dist",
+        help="multi-host: call jax.distributed.initialize() before building "
+        "the mesh (see train_mscmrseg -dist)",
+        action="store_true",
+    )
     p.add_argument("-max_hours", type=float, default=24.0)
     p.add_argument("-patience", help="early stopping patience (0=off)", type=int, default=0)
     p.add_argument("-skip_final_eval", action="store_true")
@@ -150,19 +156,34 @@ def main(argv=None):
     cfg = config_from_args(args)
     print(appendix(cfg))
 
+    import jax
+
     from pointcloududa_tpu.data.build import build_mmwhs_pipelines
-    from pointcloududa_tpu.parallel import create_mesh
+    from pointcloududa_tpu.parallel import create_mesh, init_distributed, trainer_row_shard
     from pointcloududa_tpu.train.checkpoint import restore_net_state
     from pointcloududa_tpu.train.loop import UDATrainer
 
-    train_iter, val_iters, device_augment = build_mmwhs_pipelines(cfg, workers=args.workers)
+    if args.dist:
+        init_distributed()
     mesh = create_mesh(cfg.num_devices)
+    row_shard = trainer_row_shard(mesh, cfg.bs)
+    workdir, logdir = args.workdir, args.logdir
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # rank 0 owns the real dirs; the rest write identical checkpoints
+        # to scratch so concurrent saves never collide (see train_mscmrseg)
+        import os as _os
+
+        workdir = _os.path.join(workdir, f".rank{jax.process_index()}")
+        logdir = _os.path.join(logdir, f".rank{jax.process_index()}")
+    train_iter, val_iters, device_augment = build_mmwhs_pipelines(
+        cfg, workers=args.workers, row_shard=row_shard
+    )
     trainer = UDATrainer(
         cfg,
         train_iter,
         val_iters,
-        workdir=args.workdir,
-        logdir=args.logdir,
+        workdir=workdir,
+        logdir=logdir,
         mesh=mesh,
         device_augment=device_augment,
     )

@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
     )
     p.add_argument("-workers", type=int, default=4)
+    p.add_argument(
+        "-dist",
+        help="multi-host: call jax.distributed.initialize() (coordinator "
+        "from the TPU pod metadata / JAX_COORDINATOR_ADDRESS env) before "
+        "building the mesh; every process then runs identical samplers but "
+        "decodes only its own global-batch rows (parallel.trainer_row_shard)",
+        action="store_true",
+    )
     p.add_argument("-max_hours", type=float, default=24.0)
     p.add_argument("-patience", help="early stopping patience (0=off)", type=int, default=0)
     p.add_argument(
@@ -107,21 +115,35 @@ def main(argv=None):
     cfg = config_from_args(args)
     print(appendix(cfg))
 
+    import jax
+
     from pointcloududa_tpu.data.build import build_mscmrseg_pipelines
-    from pointcloududa_tpu.parallel import create_mesh
+    from pointcloududa_tpu.parallel import create_mesh, init_distributed, trainer_row_shard
     from pointcloududa_tpu.train.loop import UDATrainer
 
+    if args.dist:
+        init_distributed()
+    mesh = create_mesh(cfg.num_devices)
+    row_shard = trainer_row_shard(mesh, cfg.bs)
+    workdir, logdir = args.workdir, args.logdir
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # replicated state + identical sampler streams make every process's
+        # checkpoints/logs byte-identical decisions; rank 0 owns the real
+        # dirs, the rest write to scratch so concurrent saves never collide
+        import os as _os
+
+        workdir = _os.path.join(workdir, f".rank{jax.process_index()}")
+        logdir = _os.path.join(logdir, f".rank{jax.process_index()}")
     device_augment = not args.host_aug
     train_iter, val_iters = build_mscmrseg_pipelines(
-        cfg, workers=args.workers, device_augment=device_augment
+        cfg, workers=args.workers, device_augment=device_augment, row_shard=row_shard
     )
-    mesh = create_mesh(cfg.num_devices)
     trainer = UDATrainer(
         cfg,
         train_iter,
         val_iters,
-        workdir=args.workdir,
-        logdir=args.logdir,
+        workdir=workdir,
+        logdir=logdir,
         mesh=mesh,
         device_augment=device_augment,
     )

@@ -21,22 +21,37 @@ from pointcloududa_tpu.data.sampler import RingSampler
 from pointcloududa_tpu.ops.host_augment import make_host_augment
 
 
-def _val_iter_factory(adapter, batch_size: int, workers: int, seed: int) -> Callable:
+def _val_iter_factory(adapter, batch_size: int, workers: int, seed: int, row_shard=None) -> Callable:
     sampler = RingSampler(len(adapter), batch_size, n_samples=-1, shuffle_seed=seed)
     assemble = BatchAssembler(adapter, workers=workers)
 
     def make():
+        from pointcloududa_tpu.data.loader import shard_index_batch
+
         for idx in sampler.epoch():
-            yield assemble(idx)
+            if row_shard is None:
+                yield assemble(idx)
+            else:
+                lo, hi, target = row_shard
+                local_idx, mask = shard_index_batch(idx, lo, hi, target)
+                batch = assemble(local_idx)
+                batch["sample_mask"] = mask
+                yield batch
 
     return make
 
 
-def build_mscmrseg_pipelines(cfg: UDAConfig, workers: int = 4, device_augment: bool = True):
+def build_mscmrseg_pipelines(cfg: UDAConfig, workers: int = 4, device_augment: bool = True,
+                             row_shard=None):
     """Returns (train_iter, val_iters). Augmentation runs on device by
     default (MS-CMRSeg vertices are precomputed and deliberately NOT
     re-derived from warped masks — reference loads them from files
-    regardless of augmentation, ``data_generator_mscmrseg.py:266,296-302``)."""
+    regardless of augmentation, ``data_generator_mscmrseg.py:266,296-302``).
+
+    ``row_shard=(lo, hi, target)``: multi-host operation — all processes run
+    identical samplers but each decodes only its global-batch row slice
+    (``loader.shard_index_batch``; slice from ``parallel.process_row_slice``).
+    """
     d = cfg.data_dir
     ids_train = load_ids(os.path.join(d, "aug_trainA.csv"))
     ids_valid = load_ids(os.path.join(d, "testA.csv"))
@@ -54,17 +69,19 @@ def build_mscmrseg_pipelines(cfg: UDAConfig, workers: int = 4, device_augment: b
         BatchAssembler(mk(ids_train, "source", "train"), workers, host_augment=host_aug),
         BatchAssembler(mk(ids_train_lge, "target", "train"), workers, host_augment=host_aug),
         seed=cfg.seed,
+        row_shard=row_shard,
     )
     val_iters: Dict[str, Callable] = {
-        "val": _val_iter_factory(mk(ids_valid, "source", "valid"), cfg.bs, workers, cfg.seed + 2),
-        "val_lge": _val_iter_factory(mk(ids_valid_lge, "target", "valid"), cfg.bs, workers, cfg.seed + 3),
-        "test_lge": _val_iter_factory(mk(ids_train_lge, "target", "train"), cfg.bs, workers, cfg.seed + 4),
+        "val": _val_iter_factory(mk(ids_valid, "source", "valid"), cfg.bs, workers, cfg.seed + 2, row_shard),
+        "val_lge": _val_iter_factory(mk(ids_valid_lge, "target", "valid"), cfg.bs, workers, cfg.seed + 3, row_shard),
+        "test_lge": _val_iter_factory(mk(ids_train_lge, "target", "train"), cfg.bs, workers, cfg.seed + 4, row_shard),
     }
     return train_iter, val_iters
 
 
 def build_mmwhs_pipelines(
-    cfg: UDAConfig, workers: int = 4, device_augment: bool = True, host_cloud_regen: bool = False
+    cfg: UDAConfig, workers: int = 4, device_augment: bool = True, host_cloud_regen: bool = False,
+    row_shard=None,
 ):
     """Returns (train_iter, val_iters, used_device_augment).
 
@@ -112,12 +129,13 @@ def build_mmwhs_pipelines(
         BatchAssembler(mk(ct_train, "target", "train", False), workers, host_augment=host_aug,
                        regen_vertices=need_host_aug),
         seed=cfg.seed,
+        row_shard=row_shard,
     )
     val_iters: Dict[str, Callable] = {
-        "val": _val_iter_factory(mk(mr_valid, "source", "valid", cfg.mh), cfg.bs, workers, cfg.seed + 2),
-        "val_lge": _val_iter_factory(mk(ct_valid, "target", "valid", False), cfg.bs, workers, cfg.seed + 3),
+        "val": _val_iter_factory(mk(mr_valid, "source", "valid", cfg.mh), cfg.bs, workers, cfg.seed + 2, row_shard),
+        "val_lge": _val_iter_factory(mk(ct_valid, "target", "valid", False), cfg.bs, workers, cfg.seed + 3, row_shard),
         "test_lge": _val_iter_factory(
-            mk(ct_train, "target", "train", False, load_vert=vert), cfg.bs, workers, cfg.seed + 4
+            mk(ct_train, "target", "train", False, load_vert=vert), cfg.bs, workers, cfg.seed + 4, row_shard
         ),
     }
     return train_iter, val_iters, device_augment

@@ -59,10 +59,33 @@ class BatchAssembler:
         return out
 
 
+def shard_index_batch(idx, lo: int, hi: int, target: int):
+    """Multi-host row sharding of one GLOBAL index batch.
+
+    Wrap-pads the batch to the static ``target`` size (same semantics as
+    ``parallel.pad_batch``: pad rows repeat real samples and carry mask 0),
+    then keeps only rows ``lo:hi`` — the slice this process's devices hold
+    under the mesh's batch sharding (``parallel.process_row_slice``). Every
+    process runs the same sampler stream, so the concatenation of the
+    per-process slices is EXACTLY the single-process global batch.
+
+    Returns ``(local_indices, local_sample_mask)``.
+    """
+    idx = np.asarray(idx)
+    n = len(idx)
+    full = idx[np.arange(target) % n]
+    mask = (np.arange(target) < n).astype(np.float32)
+    return full[lo:hi], mask[lo:hi]
+
+
 class PairedIterator:
     """One UDA epoch: zip of source and target streams (the reference's
     ``zip(trainA_iterator, trainB_iterator)``, which stops at the shorter —
-    both samplers draw the same n_samples so lengths match)."""
+    both samplers draw the same n_samples so lengths match).
+
+    ``row_shard=(lo, hi, target)`` enables multi-host operation: the global
+    index batches are wrap-padded to ``target`` and only rows ``lo:hi`` are
+    decoded on this process (see :func:`shard_index_batch`)."""
 
     def __init__(
         self,
@@ -71,21 +94,30 @@ class PairedIterator:
         src_assemble: BatchAssembler,
         tgt_assemble: BatchAssembler,
         seed: int = 0,
+        row_shard=None,
     ):
         self._src_sampler = src_sampler
         self._tgt_sampler = tgt_sampler
         self._src = src_assemble
         self._tgt = tgt_assemble
         self._rng = np.random.default_rng(seed)
+        self._row_shard = row_shard
         self.steps_per_epoch = min(src_sampler.steps_per_epoch, tgt_sampler.steps_per_epoch)
 
     def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
         for src_idx, tgt_idx in zip(self._src_sampler.epoch(), self._tgt_sampler.epoch()):
             if len(src_idx) != len(tgt_idx):  # truncated tail: drop, like zip of uneven tails
                 break
+            mask = None
+            if self._row_shard is not None:
+                lo, hi, target = self._row_shard
+                src_idx, mask = shard_index_batch(src_idx, lo, hi, target)
+                tgt_idx, _ = shard_index_batch(tgt_idx, lo, hi, target)
             a = self._src(src_idx, self._rng)
             b = self._tgt(tgt_idx, self._rng)
             batch = {"img_s": a["img"], "mask_s": a["mask"], "img_t": b["img"]}
+            if mask is not None:
+                batch["sample_mask"] = mask
             # the target mask never reaches the loss (unlabelled domain) but
             # rides along for device-side cloud regeneration after warping
             # (the reference's generators decode it for the same reason)

@@ -15,7 +15,15 @@ could be appended later without restructuring (axis names are the public
 contract), but only ``data`` is used.
 
 Multi-host: call ``jax.distributed.initialize()`` before ``create_mesh`` and
-the same code runs over DCN+ICI; single-host v5e is the tested target.
+the same code runs over DCN+ICI. Every process runs the SAME sampler stream
+(same seeds, same ring cursors — resume snapshots stay consistent) but
+assembles only the global-batch rows its own devices hold
+(:func:`process_row_slice`); :func:`shard_batch` then builds the global
+array from each process's local slice, and :func:`replicate` materialises
+replicated state across non-addressable devices. The global batch is
+therefore IDENTICAL to the single-process run by construction — multi-host
+changes where rows are decoded, never what is trained on (asserted by
+tests/test_multihost_trainer.py and the driver's gloo dryrun).
 """
 
 from __future__ import annotations
@@ -38,9 +46,81 @@ def create_mesh(num_devices: int = 0, devices: Optional[Sequence] = None) -> Mes
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def init_distributed() -> None:
+    """``jax.distributed.initialize`` for the train CLIs' ``-dist`` flag.
+
+    Prefers explicit ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` environment (manual launches; local multi-process
+    CPU drives) and falls back to jax's cluster auto-detection (TPU pod
+    metadata, Slurm, K8s, OMPI) when they are unset."""
+    import os
+
+    kw = {}
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kw = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kw)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def mesh_is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices of more than one jax process."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def process_row_slice(mesh: Mesh, global_rows: int) -> tuple:
+    """(lo, hi): the contiguous global-batch row range owned by THIS
+    process's devices under :func:`batch_sharding`.
+
+    Multi-host loaders decode only these rows of each global index batch
+    (``data.loader.shard_index_batch``); :func:`shard_batch` reassembles the
+    global array. Raises if the rows are not contiguous (would indicate a
+    non-standard device order) or indivisible.
+    """
+    n_dev = int(mesh.devices.size)
+    if global_rows % n_dev:
+        raise ValueError(
+            f"global batch {global_rows} must divide the {n_dev}-device mesh "
+            "for multi-process training (tail batches are wrap-padded to the "
+            "static stream batch size upstream)"
+        )
+    s = batch_sharding(mesh)
+    spans = [m[0] for d, m in s.devices_indices_map((global_rows,)).items()
+             if d.process_index == jax.process_index()]
+    lo = min(sp.start or 0 for sp in spans)
+    hi = max(global_rows if sp.stop is None else sp.stop for sp in spans)
+    per = global_rows // n_dev
+    if hi - lo != per * len(spans):
+        raise ValueError(
+            f"process rows are not contiguous under this mesh: {spans}"
+        )
+    return lo, hi
+
+
+def trainer_row_shard(mesh: Mesh, batch_size: int):
+    """Loader ``row_shard`` tuple for :class:`~...train.loop.UDATrainer`.
+
+    ``None`` on a single-process mesh (the loader decodes full global
+    batches). On a multi-process mesh: ``(lo, hi, target)`` — every process
+    runs identical samplers, wrap-pads each global index batch to the static
+    ``target`` (``batch_size`` rounded up to the mesh size), and decodes only
+    its own rows ``lo:hi`` (``data.loader.shard_index_batch``).
+    """
+    if not mesh_is_multiprocess(mesh):
+        return None
+    n_dev = int(mesh.devices.size)
+    target = -(-batch_size // n_dev) * n_dev
+    lo, hi = process_row_slice(mesh, target)
+    return lo, hi, target
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -76,8 +156,24 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     batch whose leading dim does not divide the mesh is wrap-padded to the
     next multiple via :func:`pad_batch` (consumers must honour the attached
     ``"sample_mask"`` — both repo step functions do); a non-dict pytree with
-    an indivisible leading dim raises."""
+    an indivisible leading dim raises.
+
+    On a multi-process mesh the input is this process's LOCAL row slice
+    (``process_row_slice``-sized, already wrap-padded + masked by the
+    loader's ``shard_index_batch``) and the global array is assembled from
+    the per-process slices — ``device_put`` cannot target non-addressable
+    devices."""
     n_dev = int(mesh.devices.size)
+    if mesh_is_multiprocess(mesh):
+        n_proc = len({d.process_index for d in mesh.devices.flat})
+        s = batch_sharding(mesh)
+
+        def put(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * n_proc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(s, x, gshape)
+
+        return jax.tree.map(put, batch)
     leaves = jax.tree.leaves(batch)
     if leaves and leaves[0].shape[0] % n_dev != 0:
         if isinstance(batch, dict):
@@ -93,6 +189,16 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (train state / params) across the mesh."""
+    """Replicate a pytree (train state / params) across the mesh.
+
+    Multi-process meshes use ``make_array_from_callback`` (each process
+    serves its addressable replicas from its local copy; copies are
+    identical by construction — same seed on every process)."""
     r = replicated(mesh)
+    if mesh_is_multiprocess(mesh):
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, r, lambda idx, x=x: x[idx])
+
+        return jax.tree.map(put, tree)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)

@@ -28,6 +28,23 @@ import numpy as np
 def _checkpointer():
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        # Multi-host: after ``device_get`` every process holds the FULL
+        # (replicated) tree, so each rank checkpoints independently to its
+        # own path (rank 0 owns the real workdir, the rest write to scratch
+        # — see the train CLIs). Restricting ``active_processes`` to this
+        # rank makes orbax skip its cross-process barriers and treat the
+        # rank as its own primary host; the default all-process barrier
+        # protocol assumes one SHARED directory, which we don't use.
+        me = jax.process_index()
+        mp = ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"rank{me}",
+        )
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(multiprocessing_options=mp),
+            multiprocessing_options=mp,
+        )
     return ocp.PyTreeCheckpointer()
 
 

@@ -154,8 +154,18 @@ class UDATrainer:
         self.val_iters = val_iters
         self.mesh = mesh
         # tail batches are wrap-padded to a multiple of the mesh (and to the
-        # stream's full batch size) with a sample_mask; see data.loader.BatchPadder
+        # stream's full batch size) with a sample_mask; see data.loader.BatchPadder.
+        # On a multi-process mesh padding already happened at index level
+        # (loader.shard_index_batch wrap-pads the GLOBAL batch before slicing
+        # this process's rows), so the host-side padder must stay a no-op —
+        # padding the local slice to the global mesh multiple would corrupt
+        # the row<->device mapping shard_batch assembles.
         self._pad_multiple = int(mesh.devices.size) if mesh is not None else 1
+        if mesh is not None:
+            from pointcloududa_tpu.parallel import mesh_is_multiprocess
+
+            if mesh_is_multiprocess(mesh):
+                self._pad_multiple = 1
         self.appendix = appendix(cfg)
         if cfg.debug_nans:
             # NaN guard — stand-in for the reference's always-on

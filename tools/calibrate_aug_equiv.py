@@ -1,0 +1,147 @@
+"""Calibrate the device-aug vs host-aug end-to-end equivalence gate.
+
+The two augmentation implementations (``ops/augment.py`` on device,
+``ops/host_augment.py`` on host — the ``-host_aug`` CLI path) share one
+``AugmentConfig`` and per-op golden tests, but r3's VERDICT asked for the
+strongest distribution-level check available while the imgaug A/B stays
+blocked: train the SAME supervised task through both pipelines and compare
+best validation Dice. A systematic distribution mismatch (wrong gate
+probability, wrong range, wrong order semantics) shifts the effective task
+difficulty of one arm and separates the outcomes; matched distributions
+land in the same band (the two arms draw from different RNG streams by
+construction — jax PRNG vs numpy Generator — so per-seed trajectories
+differ and only the distribution over seeds can match).
+
+Task: nested-disk segmentation (tools/smoke_train.py geometry) at raw
+0..255 uint8 scale, heavy augmentation (the reference MS-CMRSeg default,
+``train_mscmrseg.py -aug heavy``) during training, clean validation pool,
+best-probe protocol like tests/test_uda_quality_gate.py.
+
+Usage:
+  python tools/calibrate_aug_equiv.py --steps 400 --seeds 0 1 2
+
+Measured numbers feed tests/test_aug_equivalence_e2e.py's asserted band.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_raw_batch(rng: np.random.Generator, bs: int, size: int):
+    """Raw-format batch: uint8 0..255 (B,H,W,3) images + int32 (B,H,W) masks
+    (what the loaders ship and ``make_device_preprocess`` expects)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    imgs = np.empty((bs, size, size, 3), np.uint8)
+    masks = np.zeros((bs, size, size), np.int32)
+    for b in range(bs):
+        cy, cx = rng.uniform(0.3, 0.7, size=2) * size
+        r = rng.uniform(0.15, 0.28) * size
+        d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        base = rng.normal(0.12, 0.05, size=(size, size)).astype(np.float32)
+        lvl = base + 0.8 * (d < r) - 0.35 * (d < 0.6 * r) + 0.3 * (d < 0.3 * r)
+        imgs[b] = (np.clip(lvl, 0, 1.0) * 255.0)[..., None].repeat(3, -1).astype(np.uint8)
+        masks[b][d < r] = 1
+        masks[b][d < 0.6 * r] = 2
+        masks[b][d < 0.3 * r] = 3
+    return imgs, masks
+
+
+def make_arm(device_aug: bool, size=32, bs=8, aug="heavy"):
+    """Build (cfg, step, ev, pre_train, pre_eval, host_aug) ONCE per arm —
+    jit caches live on the returned closures, so seeds share compiles."""
+    from pointcloududa_tpu.config import mscmrseg_default
+    from pointcloududa_tpu.ops.host_augment import make_host_augment
+    from pointcloududa_tpu.train.loop import make_device_preprocess
+    from pointcloududa_tpu.train.state import build_models, build_optimizers
+    from pointcloududa_tpu.train.step import make_eval_step, make_train_step
+
+    cfg = mscmrseg_default(
+        crop_size=size, fc_inch=0, n_block=2, filters=8, bs=bs, aug=aug,
+    )
+    models = build_models(cfg)
+    step = make_train_step(cfg, models, build_optimizers(cfg))
+    ev = make_eval_step(cfg, models[0])
+    pre_train = make_device_preprocess(cfg, train=True, device_augment=device_aug)
+    pre_eval = make_device_preprocess(cfg, train=False, device_augment=False)
+    host_aug = None if device_aug else make_host_augment(aug)
+    return cfg, step, ev, pre_train, pre_eval, host_aug
+
+
+def run_arm(arm, seed: int, steps: int, size=32, bs=8, pool_n=6,
+            probes=(100, 150, 200, 250, 300, 350, 400)):
+    import jax
+
+    from pointcloududa_tpu.train.state import create_train_state
+
+    cfg, step, ev, pre_train, pre_eval, host_aug = arm
+    state = create_train_state(cfg, jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    # fixed train pool (raw) + clean val pool, like the UDA gate
+    train_pool = [make_raw_batch(rng, bs, size) for _ in range(6)]
+    val_pool = [
+        pre_eval({"img": i, "mask": m})
+        for i, m in (make_raw_batch(rng, bs, size) for _ in range(pool_n))
+    ]
+    aug_rng = jax.random.PRNGKey(seed + 17)
+    host_rng = np.random.default_rng(seed + 17)
+
+    best = 0.0
+    for i in range(steps):
+        img, mask = train_pool[i % len(train_pool)]
+        if host_aug is not None:
+            img, mask = host_aug(img, mask, host_rng)
+        raw = {"img_s": img, "mask_s": mask, "img_t": img}
+        aug_rng, r = jax.random.split(aug_rng)
+        batch = pre_train(r, raw)
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["seg_loss"])), f"non-finite at step {i}"
+        if (i + 1) in probes:
+            dice = float(np.mean([float(ev(state.gen, vb)["dice"]) for vb in val_pool]))
+            best = max(best, dice)
+    return best
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--size", type=int, default=32)
+    p.add_argument("--bs", type=int, default=8)
+    p.add_argument("--aug", default="heavy", choices=["heavy", "aug2", "light"])
+    args = p.parse_args(argv)
+
+    arms = {True: make_arm(True, size=args.size, bs=args.bs, aug=args.aug),
+            False: make_arm(False, size=args.size, bs=args.bs, aug=args.aug)}
+    rows = {}
+    for seed in args.seeds:
+        for device_aug in (True, False):
+            t0 = time.perf_counter()
+            best = run_arm(arms[device_aug], seed, args.steps,
+                           size=args.size, bs=args.bs)
+            rows[(seed, device_aug)] = best
+            print(
+                f"arm={'device' if device_aug else 'host':6s} seed={seed} "
+                f"aug={args.aug} best={best:.3f} "
+                f"({time.perf_counter() - t0:.0f}s)",
+                flush=True,
+            )
+    dev = np.array([rows[(s, True)] for s in args.seeds])
+    hst = np.array([rows[(s, False)] for s in args.seeds])
+    print(
+        f"device mean={dev.mean():.3f} std={dev.std(ddof=1) if len(dev) > 1 else 0:.3f} | "
+        f"host mean={hst.mean():.3f} std={hst.std(ddof=1) if len(hst) > 1 else 0:.3f} | "
+        f"mean gap={dev.mean() - hst.mean():+.3f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -104,7 +104,7 @@ def style_target(imgs, rng, contrast=0.55, shift=0.35, noise=0.06):
 
 def run_arm(arm: str, seed: int, steps: int, size=32, bs=8, pool_n=6,
             dr=0.05, wp=1.0, d4lr=2.5e-5, shape="disk", probes=(200, 300, 400),
-            verbose=False):
+            src_distractor=False, verbose=False):
     import jax
 
     from pointcloududa_tpu.config import mscmrseg_default
@@ -134,7 +134,14 @@ def run_arm(arm: str, seed: int, steps: int, size=32, bs=8, pool_n=6,
 
     pool = []
     for _ in range(pool_n):
-        img_s, mask_s, lab_s = make_shift_batch(rng, bs, size, distractor=False)
+        # --src_distractor (r3 VERDICT item 3): the lookalike appears in the
+        # SOURCE domain too, with correct distractor-excluding GT masks AND
+        # clouds — so chamfer-aux supervision can no longer inject shape
+        # information the segmentation CE doesn't already carry, and any
+        # (d2d4 - d4aux) margin must come from the target-side adversary.
+        img_s, mask_s, lab_s = make_shift_batch(
+            rng, bs, size, distractor=src_distractor, shape=shape
+        )
         img_t_src, mask_t, lab_t = make_shift_batch(rng, bs, size, distractor=True, shape=shape)
         img_t = style_target(img_t_src, rng)
         batch = {"img_s": img_s, "mask_s": mask_s, "img_t": img_t}
@@ -174,6 +181,11 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=32)
     p.add_argument("--bs", type=int, default=8)
     p.add_argument("--shape", default="disk", choices=["disk", "bar"])
+    p.add_argument(
+        "--src_distractor", action="store_true",
+        help="render the lookalike in SOURCE images too (GT-excluded): "
+        "isolates the target-side adversary from source-transfer effects",
+    )
     p.add_argument("-v", action="store_true")
     args = p.parse_args(argv)
 
@@ -182,10 +194,12 @@ def main(argv=None):
             t0 = time.perf_counter()
             best, last = run_arm(
                 arm, seed, args.steps, size=args.size, bs=args.bs,
-                dr=args.dr, wp=args.wp, d4lr=args.d4lr, shape=args.shape, verbose=args.v,
+                dr=args.dr, wp=args.wp, d4lr=args.d4lr, shape=args.shape,
+                src_distractor=args.src_distractor, verbose=args.v,
             )
             print(
-                f"arm={arm:5s} seed={seed} shape={args.shape} dr={args.dr} wp={args.wp} d4lr={args.d4lr} "
+                f"arm={arm:5s} seed={seed} shape={args.shape} src_dis={int(args.src_distractor)} "
+                f"dr={args.dr} wp={args.wp} d4lr={args.d4lr} "
                 f"best={best:.3f} last={last:.3f} ({time.perf_counter() - t0:.0f}s)",
                 flush=True,
             )
