@@ -19,8 +19,27 @@ best-probe protocol like tests/test_uda_quality_gate.py.
 
 Usage:
   python tools/calibrate_aug_equiv.py --steps 400 --seeds 0 1 2
+  python tools/calibrate_aug_equiv.py --moments        # training-free A/B
 
 Measured numbers feed tests/test_aug_equivalence_e2e.py's asserted band.
+
+Calibration record (r4, CPU backend, heavy, 32x32, 400 steps, best Dice):
+
+  seed     0      1      2
+  device   0.595  0.917  0.260
+  host     0.844  0.882  0.530
+  (3-seed means 0.591 vs 0.752, per-arm seed std 0.33/0.19)
+
+The toy task under heavy augmentation is CHAOTIC at this scale — per-arm
+seed spread dwarfs any per-seed comparison, and the arms deliberately use
+different RNG streams, so the e2e comparison can only bound the seed-MEAN
+gap at low resolution. The decisive check is the training-free
+``moment_probe`` A/B (same config, 150 draws per twin): every aggregate
+statistic — image mean/std, deformation magnitude, pixels-changed rate,
+foreground retention, mask-changed rate — agrees within 0.8 standard
+errors (img_mean 0.2216 vs 0.2219, fg_ratio 0.9455 vs 0.9455, ...).
+tests/test_aug_equivalence_e2e.py gates on BOTH: moments tightly, the
+e2e seed-mean inside the calibrated band.
 """
 
 from __future__ import annotations
@@ -52,6 +71,81 @@ def make_raw_batch(rng: np.random.Generator, bs: int, size: int):
         masks[b][d < 0.6 * r] = 2
         masks[b][d < 0.3 * r] = 3
     return imgs, masks
+
+
+def batch_stats(img_aug, mask_aug, img_raw, mask_raw):
+    """Aggregate per-batch statistics of an augmented batch vs its raw
+    source: image moments, deformation magnitude, and label-preservation
+    rates. Used by the distribution-level A/B (``moment_probe``)."""
+    fg_raw = mask_raw > 0
+    fg_aug = mask_aug > 0
+    return {
+        "img_mean": float(np.mean(img_aug)),
+        "img_std": float(np.std(img_aug)),
+        "img_absdiff": float(np.mean(np.abs(img_aug - img_raw))),
+        "px_changed": float(np.mean(np.abs(img_aug - img_raw) > 1e-3)),
+        "fg_frac": float(np.mean(fg_aug)),
+        "fg_ratio": float(fg_aug.sum() / max(fg_raw.sum(), 1)),
+        "mask_changed": float(np.mean(mask_aug != mask_raw)),
+    }
+
+
+def moment_probe(n_batches=150, size=32, bs=8, aug="heavy", seed=123):
+    """Distribution-level A/B of the augmentation twins WITHOUT training:
+    draw ``n_batches`` through both pipelines at the same AugmentConfig and
+    return per-stat (device_values, host_values) arrays. The twins draw
+    from different RNG streams, so only aggregates can match — but they
+    must match: any systematic gap in these stats is a distribution
+    mismatch (wrong gate probability, wrong range, wrong order semantics).
+
+    Measured (r4, heavy, 32x32, N=150): every stat agrees within 0.8
+    standard errors of the two-sample mean gap — decisively matched,
+    where the e2e training comparison (seed std ~0.3 on this chaotic toy)
+    has no such resolving power.
+    """
+    import jax
+
+    from pointcloududa_tpu.config import mscmrseg_default
+    from pointcloududa_tpu.ops.host_augment import make_host_augment
+    from pointcloududa_tpu.train.loop import make_device_preprocess
+
+    cfg = mscmrseg_default(crop_size=size, fc_inch=0, n_block=2, filters=8, bs=bs, aug=aug)
+    pre_dev = make_device_preprocess(cfg, train=True, device_augment=True)
+    pre_raw = make_device_preprocess(cfg, train=False, device_augment=False)
+    host_aug = make_host_augment(aug)
+
+    rng = np.random.default_rng(0)
+    pool = [make_raw_batch(rng, bs, size) for _ in range(8)]
+
+    def hard(m):
+        m = np.asarray(m)
+        return np.argmax(m, -1) if m.ndim == 4 else m
+
+    acc = {"device": [], "host": []}
+    aug_rng = jax.random.PRNGKey(seed)
+    host_rng = np.random.default_rng(seed)
+    for i in range(n_batches):
+        img, mask = pool[i % len(pool)]
+        ref = pre_raw({"img": img, "mask": mask})
+        img_raw, mask_raw = np.asarray(ref["img"]), hard(ref["mask"])
+        aug_rng, r = jax.random.split(aug_rng)
+        b = pre_dev(r, {"img_s": img, "mask_s": mask, "img_t": img})
+        acc["device"].append(
+            batch_stats(np.asarray(b["img_s"]), hard(b["mask_s"]), img_raw, mask_raw)
+        )
+        ih, mh = host_aug(img, mask, host_rng)
+        bh = pre_raw({"img": ih, "mask": mh})
+        acc["host"].append(
+            batch_stats(np.asarray(bh["img"]), hard(bh["mask"]), img_raw, mask_raw)
+        )
+    keys = list(acc["device"][0])
+    return {
+        k: (
+            np.array([s[k] for s in acc["device"]]),
+            np.array([s[k] for s in acc["host"]]),
+        )
+        for k in keys
+    }
 
 
 def make_arm(device_aug: bool, size=32, bs=8, aug="heavy"):
@@ -116,7 +210,20 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=32)
     p.add_argument("--bs", type=int, default=8)
     p.add_argument("--aug", default="heavy", choices=["heavy", "aug2", "light"])
+    p.add_argument("--moments", action="store_true",
+                   help="training-free distribution A/B (moment_probe)")
     args = p.parse_args(argv)
+
+    if args.moments:
+        table = moment_probe(size=args.size, bs=args.bs, aug=args.aug)
+        print(f"{'stat':14s} {'device':>18s} {'host':>18s} {'gap(se)':>8s}")
+        for k, (dv, hv) in table.items():
+            pooled = np.sqrt((dv.std() ** 2 + hv.std() ** 2) / 2) + 1e-12
+            se = pooled * np.sqrt(2.0 / len(dv))
+            print(f"{k:14s} {dv.mean():9.4f}±{dv.std():7.4f} "
+                  f"{hv.mean():9.4f}±{hv.std():7.4f} "
+                  f"{(dv.mean() - hv.mean()) / se:+7.1f}")
+        return
 
     arms = {True: make_arm(True, size=args.size, bs=args.bs, aug=args.aug),
             False: make_arm(False, size=args.size, bs=args.bs, aug=args.aug)}
