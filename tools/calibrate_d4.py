@@ -182,6 +182,12 @@ def main(argv=None):
     p.add_argument("--bs", type=int, default=8)
     p.add_argument("--shape", default="disk", choices=["disk", "bar"])
     p.add_argument(
+        "--probe_every", type=int, default=0,
+        help="probe every N steps from 100 (like the UDA gate's dense "
+        "protocol — adversarial trajectories are non-monotone); default "
+        "keeps the r3 sparse probes (200,300,400)",
+    )
+    p.add_argument(
         "--src_distractor", action="store_true",
         help="render the lookalike in SOURCE images too (GT-excluded): "
         "isolates the target-side adversary from source-transfer effects",
@@ -189,12 +195,18 @@ def main(argv=None):
     p.add_argument("-v", action="store_true")
     args = p.parse_args(argv)
 
+    probes = (
+        tuple(range(100, args.steps + 1, args.probe_every))
+        if args.probe_every
+        else (200, 300, 400)
+    )
     for seed in args.seeds:
         for arm in args.arms:
             t0 = time.perf_counter()
             best, last = run_arm(
                 arm, seed, args.steps, size=args.size, bs=args.bs,
                 dr=args.dr, wp=args.wp, d4lr=args.d4lr, shape=args.shape,
+                probes=probes,
                 src_distractor=args.src_distractor, verbose=args.v,
             )
             print(
