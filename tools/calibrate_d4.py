@@ -41,6 +41,34 @@ chamfer-only (bar/seed1: 0.841 vs 0.750) is the configuration whose
 distractor shape signature lies entirely outside the source cloud
 family — consistent with the paper's mechanism, but too seed-sensitive
 at this scale to gate on.
+
+--src_distractor attempt (r4, MEASURED REJECTION — the r3 VERDICT asked
+whether the adversary can be shown to beat d4aux once source-transfer is
+controlled for by rendering the lookalike in SOURCE images too, with
+distractor-excluding GT masks and clouds). Best target Dice, 400 steps,
+dr=0.05; TPU = dense probes every 50 from 100, CPU = sparse (200,300,400):
+
+  TPU v5e (dense)       seed0   seed1   seed2   seed3   mean
+    d2                  0.767   0.936   0.575   0.973   0.813
+    d2d4                0.533   0.856   0.310   0.605   0.576
+    d4aux               0.649   0.968   0.342   0.893   0.713
+  CPU (sparse)
+    d2                  0.757   0.935   0.581   0.837   0.778
+    d2d4                0.888   0.110   0.287   0.707   0.498
+    d4aux               0.670   0.863   0.460   0.856   0.712
+
+Conclusion: the control variant REMOVES the mechanism the adversary is
+for — once source GT itself teaches distractor rejection, the shape
+prior is an ordinary supervised feature, plain d2 jumps (0.581-0.973 vs
+0.298-0.441 on the original task), and the adversarial min-max pressure
+only destabilizes (d2d4 loses to BOTH d2 and d4aux on the mean, on both
+backends; seed1-CPU collapses outright, best 0.110). A (D2+D4) >
+(D2+d4aux) margin cannot be isolated at toy scale this way; the
+reference's real-data ablation (MM-WHS D2 0.313 -> D2+D4 0.595,
+``src/evaluate_mmwhs.py:221,224``) remains the adversary's evidence.
+Dense-vs-sparse probing was also controlled (--probe_every 50): it
+rescues one trajectory's pre-collapse peak (CPU-style seed1 best 0.110
+-> TPU 0.856) but does not change the ordering.
 """
 
 from __future__ import annotations
