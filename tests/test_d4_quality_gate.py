@@ -49,7 +49,7 @@ both backends, 4 seeds, dense and sparse probes (full tables in the tool
 docstring): the control removes the very mechanism the adversary exists
 for — source GT then teaches rejection directly, plain d2 jumps to
 0.58-0.97, and the min-max pressure only destabilizes (d2d4 means
-0.576 TPU / 0.498 CPU vs d4aux 0.713 / 0.712; one seed collapses
+0.576 TPU / 0.498 CPU vs d4aux 0.713 / 0.618; one seed collapses
 outright). No (D2+D4) > (D2+d4aux) gate is honest at this scale; this
 gate keeps asserting (D2+D4) > (D2) on the original target-only-
 distractor task, where the shape prior genuinely cannot come from

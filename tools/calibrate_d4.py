@@ -55,7 +55,7 @@ dr=0.05; TPU = dense probes every 50 from 100, CPU = sparse (200,300,400):
   CPU (sparse)
     d2                  0.757   0.935   0.581   0.837   0.778
     d2d4                0.888   0.110   0.287   0.707   0.498
-    d4aux               0.670   0.863   0.460   0.856   0.712
+    d4aux               0.670   0.863   0.460   0.478   0.618
 
 Conclusion: the control variant REMOVES the mechanism the adversary is
 for — once source GT itself teaches distractor rejection, the shape
