@@ -40,11 +40,12 @@ import pytest
 from tools.calibrate_aug_equiv import make_arm, moment_probe, run_arm
 
 MOMENT_SE_BOUND = 4.0  # measured worst 0.8 se (N=150); bug-scale shifts are >> this
-E2E_SEEDS = (0, 1, 2)
+E2E_SEEDS = tuple(range(9))
 E2E_STEPS = 400
-# calibrated (r4): 3-seed means 0.591 (device) vs 0.752 (host) with per-arm
-# seed std 0.33/0.19 -> gap se ~0.22; band = measured |gap| + 2 se.
-E2E_GAP_BAND = 0.60
+# calibrated (r4, 9 seeds): means 0.628 (device) vs 0.656 (host), mean gap
+# -0.028 with two-sample se 0.072 (the first 3 seeds alone read -0.161 —
+# sign flips at seeds 3-8: chaos). Band = |gap| + 2 se, rounded up.
+E2E_GAP_BAND = 0.18
 
 
 def test_augment_twins_distribution_moments():
