@@ -16,7 +16,9 @@ and Chamfer, with `torch.autograd.set_detect_anomaly(True)` left on
 exists.
 
 Env knobs: BENCH_DTYPE=bfloat16|float32 (default bfloat16),
-BENCH_BS (default 16), BENCH_STEPS (default 16).
+BENCH_BS (default 16), BENCH_STEPS (default 16), BENCH_E2E=1 to chain the
+jitted device preprocess (augmentation of both domains + one-hot) into the
+timed step — the honest per-step device total a real epoch pays.
 """
 
 from __future__ import annotations
@@ -78,6 +80,12 @@ def main():
         packed_level0=packed >= 1, packed_level1=packed == 2,
         packed_compute=packed == 3, bn_stats_impl=bn_impl,
     )
+    # BENCH_AUG overrides the workload's augmentation config — only
+    # meaningful with BENCH_E2E=1 (the step-only bench never augments):
+    # heavy (mscmrseg default) | aug2 | light | none
+    aug = os.environ.get("BENCH_AUG", "")
+    if aug:
+        kw["aug"] = "" if aug == "none" else aug
     if workload == "mmwhs":
         cfg = mmwhs_default(softmax=True, d2=True, d4=True, **kw)
         shape_tag = f"seg+D2+D4, bs{bs}, 256^2"
@@ -87,22 +95,46 @@ def main():
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
 
-    batches = [synthetic_batch(cfg, bs, seed=s) for s in range(4)]
-    batches = [jax.device_put(b) for b in batches]
+    # BENCH_E2E=1 measures the honest per-step DEVICE total a real training
+    # epoch pays: the jitted preprocess (device augmentation of BOTH domains
+    # + normalise + one-hot, train/loop.py make_device_preprocess) chained
+    # into the train step. Device compute serializes on one chip, so the
+    # step-only headline excludes the augment cost a real epoch pays; this
+    # mode includes it (the reference likewise pays imgaug synchronously
+    # per batch on the host, data_generator_mscmrseg.py:305-310).
+    e2e = os.environ.get("BENCH_E2E", "0") == "1"
+    if e2e:
+        from pointcloududa_tpu.data.synthetic import synthetic_raw_batch
+        from pointcloududa_tpu.train.loop import make_device_preprocess
+
+        pre = make_device_preprocess(cfg, train=True, device_augment=True)
+        raws = [jax.device_put(synthetic_raw_batch(cfg, bs, seed=s)) for s in range(4)]
+        # 16 distinct keys so the sampled per-batch op orders / SomeOf picks
+        # vary across chained steps like a real epoch's do
+        keys = [jax.device_put(jax.random.PRNGKey(1000 + i)) for i in range(16)]
+
+        def one(state, i):
+            return step(state, pre(keys[i % len(keys)], raws[i % len(raws)]))
+    else:
+        batches = [synthetic_batch(cfg, bs, seed=s) for s in range(4)]
+        batches = [jax.device_put(b) for b in batches]
+
+        def one(state, i):
+            return step(state, batches[i % len(batches)])
 
     # warmup: compile + steady steps. NOTE: completion is forced by fetching
     # a scalar that depends on the whole step — on this machine's relayed
     # TPU backend, block_until_ready returns before remote execution
     # finishes and silently inflates throughput ~30x (measured).
     for i in range(3):
-        state, metrics = step(state, batches[i % len(batches)])
+        state, metrics = one(state, i)
     float(metrics["seg_loss"])
 
     def chain(n):
         nonlocal state
         t0 = time.perf_counter()
         for i in range(n):
-            state, metrics = step(state, batches[i % len(batches)])
+            state, metrics = one(state, i)
         float(metrics["seg_loss"])  # hard sync (tiny transfer)
         return time.perf_counter() - t0
 
@@ -134,7 +166,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"UDA train slices/sec/chip ({shape_tag}, {dtype})",
+                "metric": (
+                    f"UDA train{' e2e incl. device-aug(' + (cfg.aug or 'none') + ')' if e2e else ''}"
+                    f" slices/sec/chip ({shape_tag}, {dtype})"
+                ),
                 "value": round(slices_per_sec / n_chips, 2),
                 "unit": "slices/sec/chip",
                 **extra,

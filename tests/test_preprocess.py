@@ -80,6 +80,34 @@ def test_preprocess_eval():
     assert float(out["vert"].max()) <= 1.0
 
 
+def test_synthetic_raw_batch_feeds_e2e_chain():
+    """Pins bench.py's BENCH_E2E contract: a synthetic RAW batch runs
+    through the jitted device preprocess into the full triple-adversary
+    train step (toy shapes) and yields finite metrics."""
+    from pointcloududa_tpu.data.synthetic import synthetic_raw_batch
+    from pointcloududa_tpu.train.state import (
+        build_models,
+        build_optimizers,
+        create_train_state,
+    )
+    from pointcloududa_tpu.train.step import make_train_step
+
+    cfg = mscmrseg_default(
+        filters=4, n_block=2, crop_size=32, fc_inch=9,
+        d1=True, d2=True, d4=True, aug="heavy", bs=2,
+    )
+    raw = synthetic_raw_batch(cfg, 2)
+    assert raw["img_s"].dtype == np.uint8 and raw["img_s"].shape == (2, 32, 32, 3)
+    assert raw["vert_s"].max() > 1.5  # 0..255 scale, NOT pre-normalised
+    pre = make_device_preprocess(cfg, train=True, device_augment=True)
+    batch = pre(jax.random.PRNGKey(0), raw)
+    state = create_train_state(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
+    state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(np.array(v)).all(), k
+
+
 def test_main_dispatcher_help():
     import subprocess
     import sys
