@@ -86,6 +86,10 @@ def main():
     aug = os.environ.get("BENCH_AUG", "")
     if aug:
         kw["aug"] = "" if aug == "none" else aug
+    # BENCH_VERT_T=0 drops the logged-only target chamfer diagnostic (and,
+    # on the MM-WHS e2e regen path, the per-step target cloud regen)
+    if os.environ.get("BENCH_VERT_T", "1") == "0":
+        kw["vert_t_metric"] = False
     if workload == "mmwhs":
         cfg = mmwhs_default(softmax=True, d2=True, d4=True, **kw)
         shape_tag = f"seg+D2+D4, bs{bs}, 256^2"
@@ -168,6 +172,7 @@ def main():
             {
                 "metric": (
                     f"UDA train{' e2e incl. device-aug(' + (cfg.aug or 'none') + ')' if e2e else ''}"
+                    f"{'' if cfg.vert_t_metric else ' no-vert-t-metric'}"
                     f" slices/sec/chip ({shape_tag}, {dtype})"
                 ),
                 "value": round(slices_per_sec / n_chips, 2),

@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("-ndev", type=int, default=0)
     p.add_argument(
+        "-no_vert_t_metric",
+        help="skip the logged-only target-domain chamfer diagnostic (the "
+        "reference's loss_vert_target is .item()-logged, never backpropped); "
+        "with -aug and the point head on MM-WHS this also skips the per-step "
+        "on-device TARGET cloud regen (~21 ms/batch, docs/SCALING.md)",
+        action="store_true",
+    )
+    p.add_argument(
         "-no_packed",
         help="disable the s2d-packed level-0 layout (ops/packed.py; numerically "
         "equivalent, measured +46%% step throughput on TPU)",
@@ -146,6 +154,7 @@ def config_from_args(args) -> "UDAConfig":
         num_devices=args.ndev,
         max_hours=args.max_hours,
         patience=args.patience,
+        vert_t_metric=not args.no_vert_t_metric,
         packed_level0=not args.no_packed,
         packed_compute=not args.no_packed,
     )

@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-logdir", type=str, default="runs")
     p.add_argument("-host_aug", help="augment on host instead of device", action="store_true")
     p.add_argument(
+        "-no_vert_t_metric",
+        help="skip the logged-only target-domain chamfer diagnostic (the "
+        "reference's loss_vert_target is .item()-logged, never backpropped); "
+        "with -aug and the point head on MM-WHS this also skips the per-step "
+        "on-device TARGET cloud regen (~21 ms/batch, docs/SCALING.md)",
+        action="store_true",
+    )
+    p.add_argument(
         "-no_packed",
         help="disable the s2d-packed level-0 layout (ops/packed.py; numerically "
         "equivalent, measured +46%% step throughput on TPU; with -drop the "
@@ -105,6 +113,7 @@ def config_from_args(args) -> "UDAConfig":
         num_devices=args.ndev,
         max_hours=args.max_hours,
         patience=args.patience,
+        vert_t_metric=not args.no_vert_t_metric,
         packed_level0=not args.no_packed,
         packed_compute=not args.no_packed,
     )

@@ -118,6 +118,15 @@ class UDAConfig:
     # and SINGLE-CHIP only (the pallas_call is opaque to GSPMD; build_models
     # rejects it on a >1-device mesh).
     bn_stats_impl: str = "xla"
+    # compute the logged-only target-domain chamfer diagnostic
+    # (``loss_vert_target`` — the reference computes it but only
+    # ``.item()``-logs it, never backprops: src/train_mscmrseg.py:230-231,
+    # src/train_mmwhs.py:257-258). True = reference parity. On the MM-WHS
+    # device-augment + point-head path the diagnostic's input is the
+    # on-device TARGET cloud regen, ~21 ms/batch of the 114 ms e2e step
+    # (docs/SCALING.md) — turning this off reclaims it without touching
+    # any gradient.
+    vert_t_metric: bool = True
     # torch-exact BatchNorm running-variance update: feed the unbiased
     # (n/(n-1)) batch variance like nn.BatchNorm2d (reference
     # src/networks/unet.py:28). False restores flax's biased update.

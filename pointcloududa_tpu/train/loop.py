@@ -104,11 +104,12 @@ def make_device_preprocess(cfg: UDAConfig, train: bool, device_augment: bool):
             from pointcloududa_tpu.ops.pointcloud_device import masks_to_point_clouds
 
             batch["vert_s"] = masks_to_point_clouds(mask_s, r3) / 255.0
-            batch["vert_t"] = masks_to_point_clouds(mask_t, r4) / 255.0
+            if cfg.vert_t_metric:  # target clouds feed a logged-only metric
+                batch["vert_t"] = masks_to_point_clouds(mask_t, r4) / 255.0
         else:
             if "vert_s" in raw:
                 batch["vert_s"] = raw["vert_s"].astype(jnp.float32) / 255.0
-            if "vert_t" in raw:
+            if "vert_t" in raw and cfg.vert_t_metric:
                 batch["vert_t"] = raw["vert_t"].astype(jnp.float32) / 255.0
         if "sample_mask" in raw:
             batch["sample_mask"] = raw["sample_mask"].astype(jnp.float32)

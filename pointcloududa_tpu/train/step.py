@@ -194,8 +194,11 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
 
             adv = ent_t if cfg.Tetpls else 0.0
             d4_stats = d4_stats0
-            if cfg.point_head:
-                aux["ver_t_loss"] = chamfer_m(pv_t, vert_t)  # logged only
+            if cfg.point_head and vert_t is not None:
+                # logged only — the reference's loss_vert_target is
+                # .item()-appended, never backpropped (train_mscmrseg.py:
+                # 230-231); absent when cfg.vert_t_metric is off
+                aux["ver_t_loss"] = chamfer_m(pv_t, vert_t)
             if cfg.d2:
                 out2 = d2.apply({"params": d2_params}, unc_t)
                 adv = adv + cfg.w2 * cfg.dr * losses.bce_with_logits(out2, SOURCE_LABEL, sm)
@@ -251,7 +254,8 @@ def make_train_step(cfg: UDAConfig, models, optimizers):
         }
         if cfg.point_head:
             metrics["ver_s_loss"] = aux["ver_s_loss"]
-            metrics["ver_t_loss"] = aux["ver_t_loss"]
+            if "ver_t_loss" in aux:  # absent when cfg.vert_t_metric is off
+                metrics["ver_t_loss"] = aux["ver_t_loss"]
         # train-time dice on hard predictions (soft_to_hard ties -> multi-hot,
         # reference utils.py:32-40 + metric.py:17-36 with its numLabels=4)
         o_s_pv = pv(aux["o_s"])

@@ -108,6 +108,44 @@ def test_synthetic_raw_batch_feeds_e2e_chain():
         assert np.isfinite(np.array(v)).all(), k
 
 
+def test_vert_t_metric_off_skips_target_regen():
+    """cfg.vert_t_metric=False: the MM-WHS regen preprocess produces
+    vert_s but NOT vert_t, and the step runs without the logged-only
+    ``ver_t_loss`` (the reference's never-backpropped loss_vert_target,
+    ``src/train_mmwhs.py:257-258``) — all other metrics unchanged keys."""
+    from pointcloududa_tpu.train.state import (
+        build_models,
+        build_optimizers,
+        create_train_state,
+    )
+    from pointcloududa_tpu.train.step import make_train_step
+
+    kw = dict(filters=4, n_block=2, crop_size=32, fc_inch=9,
+              d2=True, d4=True, softmax=True, aug="light", bs=2)
+    rng = np.random.default_rng(7)
+    raw = {
+        "img_s": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+        "mask_s": rng.integers(0, 5, size=(2, 32, 32)).astype(np.uint8),
+        "img_t": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+        "mask_t": rng.integers(0, 5, size=(2, 32, 32)).astype(np.uint8),
+    }
+    keysets = {}
+    for vt in (True, False):
+        cfg = mmwhs_default(vert_t_metric=vt, **kw)
+        pre = make_device_preprocess(cfg, train=True, device_augment=True)
+        batch = pre(jax.random.PRNGKey(0), raw)
+        assert "vert_s" in batch
+        assert ("vert_t" in batch) == vt
+        state = create_train_state(cfg, jax.random.PRNGKey(1))
+        step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
+        _, metrics = step(state, batch)
+        assert ("ver_t_loss" in metrics) == vt
+        for k, v in metrics.items():
+            assert np.isfinite(np.array(v)).all(), k
+        keysets[vt] = set(metrics) - {"ver_t_loss"}
+    assert keysets[True] == keysets[False]
+
+
 def test_main_dispatcher_help():
     import subprocess
     import sys
