@@ -152,6 +152,13 @@ def test_mmwhs_cli_config_parity():
     a = appendix(cfg)
     for tag in (".softmax", ".ft", ".extd4", ".dr0.1", ".w2_0.5", ".sgd", ".mh"):
         assert tag in a, tag
+    # -no_vert_t_metric wires through on both trainers (default = parity on)
+    assert cfg.vert_t_metric is True
+    assert config_from_args(build_parser().parse_args(["-no_vert_t_metric"])).vert_t_metric is False
+    from pointcloududa_tpu.cli.train_mscmrseg import build_parser as bp2
+    from pointcloududa_tpu.cli.train_mscmrseg import config_from_args as cfa2
+
+    assert cfa2(bp2().parse_args(["-no_vert_t_metric"])).vert_t_metric is False
 
 
 def test_mmwhs_builder_vert_regen_paths(tmp_path):
