@@ -5,12 +5,12 @@ reference's never-backpropped loss_vert_target, src/train_mmwhs.py:
 relay's +-4% cross-session variance cancels; two-point chain timing
 exactly as bench.py.
 
-Measured 2026-08-19 (v5e chip, 3 two-point samples/arm, spread <0.1%):
-  vert_t_metric=on :   119.69 slices/s/chip
-  vert_t_metric=off:   140.60 slices/s/chip  (+17.5%, Δ19.9 ms/step —
-  matching tools/diag_augment.py's ~21 ms target-cloud-regen cost)
-Arms use the config-default bn_stats_impl="xla" (not bench.py's "auto");
-the reclaimed ~20 ms is config-independent."""
+Measured 2026-08-19 (v5e chip, 3 two-point samples/arm, spread <0.1%),
+FLOAT32 by accident (the first version omitted compute_dtype and
+UDAConfig defaults to f32): on 119.69, off 140.60 (+17.5%, Δ19.9 ms —
+matching tools/diag_augment.py's ~21 ms target-cloud-regen cost). The
+production-config (bf16) A/B lives in tools/bench_e2e_sweep.py's last
+two rows; docs/SCALING.md records those numbers."""
 import os
 import sys
 import time
@@ -33,7 +33,8 @@ def measure(vert_t_metric: bool) -> float:
     cfg = mmwhs_default(
         softmax=True, d2=True, d4=True, bs=BS, aug="light",
         vert_t_metric=vert_t_metric,
-        packed_level0=True, packed_compute=True,
+        compute_dtype="bfloat16",  # UDAConfig defaults to f32 — must match bench.py
+        packed_level0=True, packed_compute=True, bn_stats_impl="auto",
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
