@@ -55,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
     )
     p.add_argument(
+        "-vert_t_every",
+        help="cadence of that diagnostic: compute it every N steps (1 = "
+        "every step = reference parity; N=10 keeps a 1/N-subsampled log "
+        "series at ~1/N of its cost — recommended MM-WHS production "
+        "setting, docs/SCALING.md)",
+        type=int,
+        default=1,
+    )
+    p.add_argument(
         "-no_packed",
         help="disable the s2d-packed level-0 layout (ops/packed.py; numerically "
         "equivalent, measured +46%% step throughput on TPU; with -drop the "
@@ -114,6 +123,7 @@ def config_from_args(args) -> "UDAConfig":
         max_hours=args.max_hours,
         patience=args.patience,
         vert_t_metric=not args.no_vert_t_metric,
+        vert_t_every=args.vert_t_every,
         packed_level0=not args.no_packed,
         packed_compute=not args.no_packed,
     )

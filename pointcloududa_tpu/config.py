@@ -127,6 +127,14 @@ class UDAConfig:
     # (docs/SCALING.md) — turning this off reclaims it without touching
     # any gradient.
     vert_t_metric: bool = True
+    # cadence of that diagnostic: compute it on steps where
+    # ``step % vert_t_every == 0`` (per-epoch step counter; 1 = every step =
+    # exact reference parity). The r4 binary opt-out forced a choice between
+    # the log series and ~20 ms/step; N=10 keeps a 1/N-subsampled series at
+    # ~1/N of the cost (recommended MM-WHS production setting,
+    # docs/SCALING.md). Epoch means of ``ver_t_loss`` average only the
+    # sampled steps. Ignored when ``vert_t_metric`` is False.
+    vert_t_every: int = 1
     # torch-exact BatchNorm running-variance update: feed the unbiased
     # (n/(n-1)) batch variance like nn.BatchNorm2d (reference
     # src/networks/unet.py:28). False restores flax's biased update.
@@ -135,6 +143,13 @@ class UDAConfig:
     # torch.autograd.set_detect_anomaly (train_mscmrseg.py:703) — opt-in
     # here because it forces sync checks (SURVEY.md §5)
     debug_nans: bool = False
+
+    def __post_init__(self):
+        if self.vert_t_every < 1:
+            raise ValueError(
+                f"vert_t_every must be >= 1 (got {self.vert_t_every}); use "
+                "vert_t_metric=False to disable the diagnostic entirely"
+            )
 
     @property
     def point_head(self) -> bool:

@@ -21,6 +21,7 @@ wall-clock stop with the MM-WHS adaptive margin (``train_mmwhs.py:673-675``).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, Dict, Iterable, Optional
 
@@ -89,8 +90,15 @@ def make_device_preprocess(cfg: UDAConfig, train: bool, device_augment: bool):
         out, mask = aug_fn(rng, scaled, mask)
         return lo + out * (hi - lo + 1e-12) / 255.0, mask
 
-    @jax.jit
-    def process_train(rng, raw):
+    # ``with_vert_t`` is the per-step cadence gate (cfg.vert_t_every): the
+    # trainer passes False on off-cadence steps, which drops the logged-only
+    # target cloud from the batch — the train step then traces (once) a
+    # variant without the ver_t chamfer. Static so each variant is ONE
+    # compilation; at the default vert_t_every=1 only the True variant ever
+    # traces.
+    @functools.partial(jax.jit, static_argnames="with_vert_t")
+    def process_train(rng, raw, with_vert_t=True):
+        vert_t_on = cfg.vert_t_metric and with_vert_t
         r1, r2, r3, r4 = jax.random.split(rng, 4)
         img_s, mask_s = aug_pair(r1, raw["img_s"], raw["mask_s"].astype(jnp.int32))
         mask_t = raw["mask_t"].astype(jnp.int32) if (regen_verts and "mask_t" in raw) else None
@@ -104,12 +112,12 @@ def make_device_preprocess(cfg: UDAConfig, train: bool, device_augment: bool):
             from pointcloududa_tpu.ops.pointcloud_device import masks_to_point_clouds
 
             batch["vert_s"] = masks_to_point_clouds(mask_s, r3) / 255.0
-            if cfg.vert_t_metric:  # target clouds feed a logged-only metric
+            if vert_t_on:  # target clouds feed a logged-only metric
                 batch["vert_t"] = masks_to_point_clouds(mask_t, r4) / 255.0
         else:
             if "vert_s" in raw:
                 batch["vert_s"] = raw["vert_s"].astype(jnp.float32) / 255.0
-            if "vert_t" in raw and cfg.vert_t_metric:
+            if "vert_t" in raw and vert_t_on:
                 batch["vert_t"] = raw["vert_t"].astype(jnp.float32) / 255.0
         if "sample_mask" in raw:
             batch["sample_mask"] = raw["sample_mask"].astype(jnp.float32)
@@ -226,17 +234,25 @@ class UDATrainer:
         # tail batches are padded + masked to a single static shape
         prefetch = DevicePrefetcher(place=self.place, depth=2)
         padder = BatchPadder(self._pad_multiple)
+        every = self.cfg.vert_t_every
         for raw in prefetch(map(padder, self.train_iter.epoch())):
             with trace_annotation("uda_train_step"):
                 self._aug_rng, r = jax.random.split(self._aug_rng)
-                batch = self.pre_train(r, raw)
+                # cadence of the logged-only target chamfer (vert_t_every):
+                # off-cadence steps drop vert_t and run the (separately
+                # compiled) step variant without the diagnostic
+                with_vt = every <= 1 or step % every == 0
+                batch = self.pre_train(r, raw, with_vert_t=with_vt)
                 self.state, metrics = self.train_step(self.state, batch)
             metrics_acc.append(metrics)
             step += 1
         if not metrics_acc:
             return {}
         host = jax.device_get(metrics_acc)
-        return {k: float(np.mean([m[k] for m in host])) for k in host[0]}
+        # key union: ver_t_loss is present only on cadence steps — its epoch
+        # mean averages the sampled steps
+        keys = set().union(*host)
+        return {k: float(np.mean([m[k] for m in host if k in m])) for k in keys}
 
     def _validate_one(self, make_iter) -> Dict[str, float]:
         from pointcloududa_tpu.data.loader import BatchPadder

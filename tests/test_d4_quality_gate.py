@@ -54,6 +54,22 @@ outright). No (D2+D4) > (D2+d4aux) gate is honest at this scale; this
 gate keeps asserting (D2+D4) > (D2) on the original target-only-
 distractor task, where the shape prior genuinely cannot come from
 source supervision.
+
+DECISION (r5) — CLOSED AT TOY SCALE. Two gate designs were measured
+(r3 target-only distractor, r4 source-side distractor control) and the
+conclusion is final: the adversary-vs-d4aux margin CANNOT be isolated
+on synthetic tasks this small — any toy whose source GT encodes the
+shape prior hands the win to plain supervision, and any toy whose
+source GT doesn't is the task this gate already runs. No further
+toy-scale experiments are planned. What IS proven here and elsewhere:
+the full D4 path trains stably (this gate + test_uda_quality_gate),
+(D2+D4) > (D2) on the mechanism task (this gate), n-device==1-device
+equivalence of the D4 step (test_sharding_equivalence + the driver
+dryrun), and per-step loss/parameter parity with a torch twin of the
+reference loop (test_step_parity_torch). What awaits the real MM-WHS
+data: the adversary's published quality margin itself (D2 0.313 ->
+D2+D4 0.595, ``src/evaluate_mmwhs.py:221,224``) — tools/reproduce_mmwhs.py
+is the turnkey runbook for the day the dataset is present.
 """
 
 import numpy as np

@@ -146,6 +146,101 @@ def test_vert_t_metric_off_skips_target_regen():
     assert keysets[True] == keysets[False]
 
 
+def test_vert_t_every_cadence_is_logged_only():
+    """``vert_t_every=N``: the target chamfer diagnostic is computed only on
+    steps where ``step % N == 0``, its sampled values are IDENTICAL to the
+    every-step run's, and skipping it never changes the training trajectory
+    (the reference ``.item()``-logs loss_vert_target without backward,
+    ``src/train_mmwhs.py:257-258``)."""
+    from pointcloududa_tpu.train.state import (
+        build_models,
+        build_optimizers,
+        create_train_state,
+    )
+    from pointcloududa_tpu.train.step import make_train_step
+
+    kw = dict(filters=4, n_block=2, crop_size=32, fc_inch=9,
+              d2=True, d4=True, softmax=True, aug="light", bs=2)
+    rng = np.random.default_rng(11)
+    raws = []
+    for _ in range(4):
+        raws.append({
+            "img_s": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+            "mask_s": rng.integers(0, 5, size=(2, 32, 32)).astype(np.uint8),
+            "img_t": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+            "mask_t": rng.integers(0, 5, size=(2, 32, 32)).astype(np.uint8),
+        })
+
+    def run(every):
+        cfg = mmwhs_default(vert_t_every=every, **kw)
+        pre = make_device_preprocess(cfg, train=True, device_augment=True)
+        state = create_train_state(cfg, jax.random.PRNGKey(1))
+        step = make_train_step(cfg, build_models(cfg), build_optimizers(cfg))
+        aug_rng = jax.random.PRNGKey(2)
+        per_step = []
+        for i, raw in enumerate(raws):
+            aug_rng, r = jax.random.split(aug_rng)
+            with_vt = every <= 1 or i % every == 0
+            batch = pre(r, raw, with_vert_t=with_vt)
+            assert ("vert_t" in batch) == with_vt
+            state, metrics = step(state, batch)
+            per_step.append(jax.device_get(metrics))
+        return state, per_step
+
+    state_1, steps_1 = run(1)
+    state_3, steps_3 = run(3)
+    # trajectory bit-identical: the diagnostic feeds no gradient
+    for a, b in zip(jax.tree.leaves(state_1.gen.params), jax.tree.leaves(state_3.gen.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for i, (m1, m3) in enumerate(zip(steps_1, steps_3)):
+        assert "ver_t_loss" in m1
+        assert ("ver_t_loss" in m3) == (i % 3 == 0)
+        for k in m3:
+            np.testing.assert_array_equal(
+                np.asarray(m1[k]), np.asarray(m3[k]), err_msg=f"step {i} {k}"
+            )
+
+
+def test_vert_t_every_trainer_epoch_mean(tmp_path):
+    """Trainer-level wiring: with ``vert_t_every=2`` an epoch runs green and
+    the returned ``ver_t_loss`` epoch metric averages ONLY the sampled steps
+    (key-union aggregation); all other epoch keys are intact."""
+    from pointcloududa_tpu.train.loop import UDATrainer
+
+    cfg = mmwhs_default(
+        filters=4, n_block=2, crop_size=32, fc_inch=9, d2=True, d4=True,
+        softmax=True, aug="light", bs=2, ns=6, epochs=1, vert_t_every=2,
+    )
+    rng = np.random.default_rng(13)
+
+    class _Iter:
+        steps_per_epoch = 3
+
+        def epoch(self):
+            for _ in range(3):
+                yield {
+                    "img_s": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+                    "mask_s": rng.integers(0, 5, size=(2, 32, 32)).astype(np.uint8),
+                    "img_t": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+                    "mask_t": rng.integers(0, 5, size=(2, 32, 32)).astype(np.uint8),
+                }
+
+    trainer = UDATrainer(
+        cfg, _Iter(), {}, workdir=str(tmp_path / "w"), logdir=str(tmp_path / "r")
+    )
+    tr = trainer.train_epoch()
+    assert np.isfinite(tr["ver_t_loss"])  # mean over steps 0 and 2 only
+    for k in ("seg_loss", "adv_loss", "ver_s_loss", "seg_dice", "dis2_acc1"):
+        assert k in tr and np.isfinite(tr[k]), k
+
+
+def test_vert_t_every_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mmwhs_default(vert_t_every=0)
+
+
 def test_main_dispatcher_help():
     import subprocess
     import sys
