@@ -105,7 +105,20 @@ ROWS = [
 
 if __name__ == "__main__":
     for name, wl, e2e, aug, vt, bs, every in ROWS:
-        s = measure(wl, e2e, aug, vt, bs=bs, vert_t_every=every)
+        print(f"[row start {time.strftime('%H:%M:%S')}] {name}", flush=True)
+        # One retry per row: the relay occasionally drops a session with
+        # FAILED_PRECONDITION mid-compile; a row failure must not void the
+        # whole same-session sweep (the anchor row guards cross-row skew).
+        for attempt in (1, 2):
+            try:
+                s = measure(wl, e2e, aug, vt, bs=bs, vert_t_every=every)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"  attempt {attempt} FAILED: {type(e).__name__}: {e}",
+                      flush=True)
+                s = None
+        if s is None:
+            continue
         med = sorted(s)[1]
         print(
             f"{name:46s} {med:8.2f} slices/s/chip  "
